@@ -1,0 +1,65 @@
+"""Vectorized env engine: vmapped step/reset with SB3 VecEnv auto-reset.
+
+The reference trains on a single env wrapped in SB3's DummyVecEnv; the
+TPU-native engine runs B envs in lockstep under `jit(vmap(...))`:
+
+  * `VecEnv.reset(key)    -> (states, obs)`                    # (B, ...)
+  * `VecEnv.step(states, actions) -> (states, obs, reward, done, info)`
+
+Auto-reset semantics match SB3 (DummyVecEnv.step_wait): when an episode ends
+(terminated or truncated), the returned obs is the *reset* obs of a fresh
+episode and the pre-reset ("terminal") observation is reported separately for
+bootstrapping, together with the terminated/truncated split — exactly the
+information SB3's PPO uses for timeout value bootstrapping.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StepOut(NamedTuple):
+    obs: jnp.ndarray            # (B, obs_dim) post-auto-reset observation
+    reward: jnp.ndarray         # (B,)
+    done: jnp.ndarray           # (B,) terminated | truncated
+    terminated: jnp.ndarray     # (B,)
+    truncated: jnp.ndarray      # (B,)
+    terminal_obs: jnp.ndarray   # (B, obs_dim) pre-reset obs (valid when done)
+
+
+class VecEnv:
+    def __init__(self, env, num_envs: int):
+        self.env = env
+        self.num_envs = num_envs
+        self.obs_dim = env.obs_dim
+        self.act_dim = env.act_dim
+
+    @partial(jax.jit, static_argnums=0)
+    def reset(self, key):
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self.env.reset)(keys)
+
+    @partial(jax.jit, static_argnums=0)
+    def step(self, states, actions):
+        def one(state, action):
+            state2, obs, reward, terminated, truncated = self.env.step(
+                state, action)
+            done = terminated | truncated
+            # auto-reset from a fresh key derived from the env's stream
+            reset_key = jax.random.fold_in(state2.key, 0x5EED)
+            rstate, robs = self.env.reset(reset_key)
+            # fd-pitch_dot state survives reset in the reference (the
+            # last_pitch/last_time attributes are not cleared): carry them
+            rstate = rstate._replace(last_pitch=state2.last_pitch,
+                                     last_t=jnp.float32(0.0),
+                                     has_last=state2.has_last)
+            # inside vmap `done` is a scalar bool -> plain where on every leaf
+            new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
+                                     rstate, state2)
+            new_obs = jnp.where(done, robs, obs)
+            return new_state, StepOut(obs=new_obs, reward=reward, done=done,
+                                      terminated=terminated,
+                                      truncated=truncated, terminal_obs=obs)
+        return jax.vmap(one)(states, actions)

@@ -1,0 +1,97 @@
+"""Full physics step for the robot-only scenes (env01/env02 family).
+
+One `substep` = MuJoCo `mj_step` at timestep 2e-5 with the implicitfast
+integrator; one `control_step` = 250 substeps under constant ctrl
+(frame_skip=250, reference env01_v1.py:24) = 5 ms of simulation.
+
+State is a `PhysState` NamedTuple of scalars/tuples; everything vmaps to
+`(B,)` arrays.  The previous substep's qacc warm-starts the constraint solver
+exactly like MuJoCo's qacc_warmstart.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .slin import quat_integrate, chol_factor, chol_solve
+from . import robot_core as rc
+from .robot_core import RobotSceneParams, NV
+from . import contacts as ct
+from . import solver as sv
+
+
+class PhysState(NamedTuple):
+    qpos: tuple      # 9 scalars
+    qvel: tuple      # 8 scalars
+    warmstart: tuple  # 8 scalars (previous qacc)
+
+
+def init_state(qpos, qvel):
+    return PhysState(qpos=tuple(qpos), qvel=tuple(qvel),
+                     warmstart=(0.0,) * NV)
+
+
+def forward(state: PhysState, ctrl, p: RobotSceneParams, friction=None):
+    """mj_forward equivalent: returns (qacc, qfrc_total, dfdv, aux)."""
+    qpos, qvel = state.qpos, state.qvel
+    k = rc.fk(qpos)
+    kv = rc.com_vel(k, qvel)
+    M = rc.crb_mass_matrix(k)
+    bias = rc.rne_bias(k, kv, qvel, p.gravity)
+    qfrc_act, dfdv = rc.actuation(ctrl, qvel, p)
+    passive = (0.0,) * 6 + (-p.joint_damping * qvel[6],
+                            -p.joint_damping * qvel[7])
+    qfrc_smooth = tuple(qfrc_act[j] + passive[j] - bias[j] for j in range(NV))
+    L = chol_factor(M, NV)
+    a_smooth = chol_solve(L, qfrc_smooth, NV)
+
+    wheel_cons, chassis_cons = ct.robot_floor_contacts(k)
+    def params_for(c):
+        return p.wheel_contact if c.body in (1, 2) else p.chassis_contact
+    fric = friction if p.dynamic_friction else None
+    rows = sv.contact_rows(wheel_cons + chassis_cons, params_for,
+                           k["cdof"], k["com"], qvel, NV,
+                           friction_scale=fric)
+    # warmstart selection (MuJoCo: better of warmstart / qacc_smooth by cost)
+    cost_ws = sv.cost(state.warmstart, a_smooth, M, rows, NV)
+    cost_sm = sv.cost(a_smooth, a_smooth, M, rows, NV)
+    better = cost_ws < cost_sm
+    a0 = tuple(jnp.where(better, w, s)
+               for w, s in zip(state.warmstart, a_smooth))
+    qacc = sv.solve_newton(a0, a_smooth, M, rows, NV,
+                           iters=p.newton_iters, ls_iters=p.ls_iters)
+    _, qfrc_con = sv.constraint_forces(qacc, rows, NV)
+    qfrc_total = tuple(qfrc_smooth[j] + qfrc_con[j] for j in range(NV))
+    return qacc, qfrc_total, dfdv, dict(M=M, k=k)
+
+
+def substep(state: PhysState, ctrl, p: RobotSceneParams, friction=None):
+    """One mj_step: forward dynamics + implicitfast integration."""
+    qacc, qfrc_total, dfdv, aux = forward(state, ctrl, p, friction)
+    M = aux["M"]
+    h = p.timestep
+    # implicitfast: qvel += h * (M - h*D)^-1 qfrc_total,
+    # D = d(qfrc_passive+actuator)/dqvel  (diag on wheel dofs)
+    MH = [list(r) for r in M]
+    MH[6][6] = MH[6][6] - h * (-p.joint_damping + dfdv[0])
+    MH[7][7] = MH[7][7] - h * (-p.joint_damping + dfdv[1])
+    LH = chol_factor(tuple(tuple(r) for r in MH), NV)
+    dv = chol_solve(LH, qfrc_total, NV)
+    qvel = tuple(state.qvel[j] + h * dv[j] for j in range(NV))
+    qpos = state.qpos
+    new_pos = (qpos[0] + h * qvel[0], qpos[1] + h * qvel[1],
+               qpos[2] + h * qvel[2])
+    quat = quat_integrate((qpos[3], qpos[4], qpos[5], qpos[6]),
+                          (qvel[3], qvel[4], qvel[5]), h)
+    new_qpos = new_pos + quat + (qpos[7] + h * qvel[6], qpos[8] + h * qvel[7])
+    return PhysState(qpos=new_qpos, qvel=qvel, warmstart=qacc)
+
+
+def control_step(state: PhysState, ctrl, p: RobotSceneParams, friction=None,
+                 frame_skip=250):
+    """250 substeps at constant ctrl = one 200 Hz control step."""
+    def body(s, _):
+        return substep(s, ctrl, p, friction), None
+    state, _ = lax.scan(body, state, None, length=frame_skip)
+    return state
