@@ -22,8 +22,9 @@ XML = "/root/reference/src/balance_robot/envs/env01_v1.xml"
 
 @pytest.fixture(scope="module")
 def x64():
-    with jax.experimental.enable_x64():
-        yield
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 @pytest.fixture(scope="module")
