@@ -70,6 +70,25 @@ class Env01V1:
     def _post_reset(self, state):
         return state
 
+    def state_from_qpos(self, qpos, qvel=None, key=None):
+        """Build an EnvState from explicit (qpos, qvel) — the parity-harness
+        entry point (reference resets mix seeded/unseeded RNG; SURVEY §2.7).
+
+        Mirrors the post-`reset()` bookkeeping: the reference's `reset` calls
+        `_get_obs`, which seeds the fd-pitch_dot state with (pitch0, t=0)."""
+        qpos = jnp.asarray(qpos)
+        qvel = jnp.zeros(8, qpos.dtype) if qvel is None else jnp.asarray(qvel)
+        phys = PhysState(qpos=tuple(qpos), qvel=tuple(qvel),
+                         warmstart=(jnp.zeros((), qpos.dtype),) * 8)
+        p0 = pitch_of(tuple(qpos))
+        return EnvState(
+            phys=phys, t=jnp.int32(0),
+            last_pitch=p0, last_t=jnp.float32(0.0),
+            has_last=jnp.asarray(True),
+            target_wheel_speed=jnp.float32(0.0), target_yaw=jnp.float32(0.0),
+            key=key if key is not None else jax.random.PRNGKey(0),
+            aux=self._init_aux(jax.random.PRNGKey(1)))
+
     def _update_targets(self, state):
         return state
 

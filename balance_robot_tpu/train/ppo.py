@@ -1,0 +1,235 @@
+"""On-device PPO matching Stable Baselines3 defaults (SURVEY §2.1, §7.4).
+
+The whole iteration — rollout over the vmapped env (`lax.scan`), GAE, and the
+clipped-surrogate update (10 epochs x minibatches with a fresh global
+permutation per epoch) — is one jitted function; nothing leaves the device.
+
+SB3-default hyperparameters (sb_rl.py:63-71 constructs PPO with all defaults):
+  lr 3e-4 (Adam eps 1e-5), n_steps 2048, batch 64, 10 epochs, gamma 0.99,
+  gae_lambda 0.95, clip 0.2, ent_coef 0.0, vf_coef 0.5, max_grad_norm 0.5,
+  per-minibatch advantage normalization, timeout value bootstrapping via the
+  terminal observation (SB3 DummyVecEnv/PPO semantics).
+
+Multi-chip: pass `shard_env` to lay the env batch over a `jax.sharding.Mesh`
+axis; parameters are replicated and XLA inserts the gradient psum.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import mlp
+from ..envs.vector import VecEnv
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    n_envs: int = 16
+    n_steps: int = 128          # SB3 default 2048 (per env); TPU configs use
+                                # many envs x fewer steps per iteration
+    n_epochs: int = 10
+    minibatch_size: int = 64
+    lr: float = 3e-4
+    adam_eps: float = 1e-5
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    normalize_advantage: bool = True
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_states: Any
+    last_obs: jnp.ndarray
+    key: jnp.ndarray
+    # streaming episode stats (SB3 Monitor-style)
+    ep_ret: jnp.ndarray         # (B,) running return of current episodes
+    ep_len: jnp.ndarray         # (B,)
+    stat_sum_ret: jnp.ndarray   # sum of completed-episode returns
+    stat_n_eps: jnp.ndarray
+
+
+class PPO:
+    def __init__(self, env, config: PPOConfig = PPOConfig(),
+                 shard_env=None):
+        self.env = env
+        self.cfg = config
+        self.vec = VecEnv(env, config.n_envs)
+        self.optim = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=config.adam_eps),
+        )
+        self.shard_env = shard_env  # optional NamedSharding for (B, ...) axes
+
+    # ------------------------------------------------------------- init
+    def init(self, key, params=None):
+        k1, k2, k3 = jax.random.split(key, 3)
+        if params is None:
+            params = mlp.init_params(k1, self.env.obs_dim, self.env.act_dim)
+        opt_state = self.optim.init(params)
+        env_states, obs = self.vec.reset(k2)
+        B = self.cfg.n_envs
+        return TrainState(params=params, opt_state=opt_state,
+                          env_states=env_states, last_obs=obs, key=k3,
+                          ep_ret=jnp.zeros(B), ep_len=jnp.zeros(B, jnp.int32),
+                          stat_sum_ret=jnp.zeros(()),
+                          stat_n_eps=jnp.zeros(()))
+
+    # ------------------------------------------------------------ rollout
+    def _rollout(self, ts: TrainState):
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            ts = carry
+            key, k_act = jax.random.split(ts.key)
+            mean, log_std, val = mlp.forward(ts.params, ts.last_obs)
+            actions = mlp.sample(k_act, mean, log_std)
+            logp = mlp.log_prob(mean, log_std, actions)
+            env_states, out = self.vec.step(ts.env_states, actions)
+            # SB3 timeout bootstrap: when truncated (not terminated), add
+            # gamma * V(terminal_obs) to the reward
+            term_val = mlp.value(ts.params, out.terminal_obs)
+            reward = out.reward + jnp.where(
+                out.truncated & ~out.terminated,
+                cfg.gamma * term_val, 0.0)
+            ep_ret = ts.ep_ret + out.reward
+            ep_len = ts.ep_len + 1
+            stat_sum = ts.stat_sum_ret + jnp.sum(
+                jnp.where(out.done, ep_ret, 0.0))
+            stat_n = ts.stat_n_eps + jnp.sum(out.done)
+            ts = ts._replace(env_states=env_states, last_obs=out.obs, key=key,
+                             ep_ret=jnp.where(out.done, 0.0, ep_ret),
+                             ep_len=jnp.where(out.done, 0, ep_len),
+                             stat_sum_ret=stat_sum, stat_n_eps=stat_n)
+            data = dict(obs=carry.last_obs, actions=actions, logp=logp,
+                        value=val, reward=reward, done=out.done)
+            return ts, data
+
+        ts, traj = jax.lax.scan(step_fn, ts, None, length=cfg.n_steps)
+        return ts, traj
+
+    # ---------------------------------------------------------------- GAE
+    def _gae(self, ts: TrainState, traj):
+        cfg = self.cfg
+        last_val = mlp.value(ts.params, ts.last_obs)
+
+        def back(carry, data):
+            gae, next_val = carry
+            nonterm = 1.0 - data["done"].astype(jnp.float32)
+            delta = (data["reward"] + cfg.gamma * next_val * nonterm
+                     - data["value"])
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterm * gae
+            return (gae, data["value"]), gae
+
+        (_, _), adv = jax.lax.scan(
+            back, (jnp.zeros_like(last_val), last_val), traj, reverse=True)
+        returns = adv + traj["value"]
+        return adv, returns
+
+    # ------------------------------------------------------------- update
+    def _update(self, ts: TrainState, traj, adv, returns):
+        cfg = self.cfg
+        T, B = cfg.n_steps, cfg.n_envs
+        N = T * B
+        flat = {
+            "obs": traj["obs"].reshape(N, -1),
+            "actions": traj["actions"].reshape(N, -1),
+            "logp": traj["logp"].reshape(N),
+            "adv": adv.reshape(N),
+            "ret": returns.reshape(N),
+        }
+        n_mb = N // cfg.minibatch_size
+
+        def loss_fn(params, mb):
+            mean, log_std, val = mlp.forward(params, mb["obs"])
+            logp = mlp.log_prob(mean, log_std, mb["actions"])
+            a = mb["adv"]
+            if cfg.normalize_advantage:
+                a = (a - a.mean()) / (a.std() + 1e-8)
+            ratio = jnp.exp(logp - mb["logp"])
+            pg = -jnp.minimum(
+                a * ratio,
+                a * jnp.clip(ratio, 1 - cfg.clip_range, 1 + cfg.clip_range),
+            ).mean()
+            v_loss = jnp.mean((mb["ret"] - val) ** 2)
+            ent = mlp.entropy(log_std)
+            loss = pg + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            return loss, (pg, v_loss, ent)
+
+        def epoch_fn(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, N)
+
+            def mb_fn(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * cfg.minibatch_size, cfg.minibatch_size)
+                mb = jax.tree.map(lambda x: x[idx], flat)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb)
+                updates, opt_state = self.optim.update(grads, opt_state,
+                                                       params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_fn, (params, opt_state), jnp.arange(n_mb))
+            return (params, opt_state), jax.tree.map(jnp.mean, metrics)
+
+        key, k_perm = jax.random.split(ts.key)
+        keys = jax.random.split(k_perm, cfg.n_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_fn, (ts.params, ts.opt_state), keys)
+        ts = ts._replace(params=params, opt_state=opt_state, key=key)
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    # ----------------------------------------------------------- iterate
+    @partial(jax.jit, static_argnums=0)
+    def iteration(self, ts: TrainState):
+        """One PPO iteration: collect n_steps x n_envs transitions + update."""
+        ts, traj = self._rollout(ts)
+        adv, returns = self._gae(ts, traj)
+        ts, metrics = self._update(ts, traj, adv, returns)
+        loss, pg, vl, ent = metrics
+        mean_ep_ret = ts.stat_sum_ret / jnp.maximum(ts.stat_n_eps, 1.0)
+        return ts, dict(loss=loss, pg_loss=pg, v_loss=vl, entropy=ent,
+                        mean_ep_return=mean_ep_ret, n_episodes=ts.stat_n_eps)
+
+    # -------------------------------------------------------------- eval
+    @partial(jax.jit, static_argnums=(0, 2, 4))
+    def evaluate(self, params, n_episodes: int, key, max_steps=None):
+        """Deterministic-policy episode returns (EvalCallback semantics:
+        mean reward over n episodes with deterministic actions)."""
+        max_steps = max_steps or self.env.max_episode_steps
+        keys = jax.random.split(key, n_episodes)
+
+        def one(key):
+            state, obs = self.env.reset(key)
+
+            def body(carry):
+                state, obs, ret, done, t = carry
+                action = mlp.policy_mean(params, obs)
+                state, obs2, r, term, trunc = self.env.step(state, action)
+                ret = ret + jnp.where(done, 0.0, r)
+                done2 = done | term | trunc
+                return (state, obs2, ret, done2, t + 1)
+
+            def cond(carry):
+                _, _, _, done, t = carry
+                return (~done) & (t < max_steps)
+
+            _, _, ret, _, t = jax.lax.while_loop(
+                cond, body, (state, obs, jnp.float32(0.0),
+                             jnp.asarray(False), jnp.int32(0)))
+            return ret, t
+
+        rets, lens = jax.vmap(one)(keys)
+        return rets.mean(), lens.astype(jnp.float32).mean()

@@ -1,0 +1,76 @@
+"""Benchmark: vectorized env throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: env-steps/s at 4096 envs on a single chip — each env step is a full
+reference-parity control step (250 implicitfast substeps + contacts + obs /
+reward / termination / auto-reset) plus the policy forward.  vs_baseline is
+the speedup over the reference's single-env CPU throughput measured on this
+host by tools/measure_reference.py (the reference publishes no numbers;
+BASELINE.md).
+"""
+
+import json
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+from balance_robot_tpu.envs.env01 import Env01V2
+from balance_robot_tpu.envs.vector import VecEnv
+from balance_robot_tpu.models import mlp
+
+N_ENVS = 4096
+N_STEPS = 25        # control steps per timed scan
+REPEATS = 4
+
+
+def main():
+    env = Env01V2()
+    vec = VecEnv(env, N_ENVS)
+    key = jax.random.PRNGKey(0)
+    params = mlp.init_params(jax.random.PRNGKey(1))
+    states, obs = vec.reset(key)
+
+    @jax.jit
+    def run(states, obs, key):
+        def body(carry, _):
+            states, obs, key = carry
+            key, k = jax.random.split(key)
+            mean, log_std, _ = mlp.forward(params, obs)
+            actions = mlp.sample(k, mean, log_std)
+            states, out = vec.step(states, actions)
+            return (states, out.obs, key), out.reward.mean()
+        (states, obs, key), rews = jax.lax.scan(
+            body, (states, obs, key), None, length=N_STEPS)
+        return states, obs, key, rews.mean()
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    states, obs, key, r = run(states, obs, key)
+    jax.block_until_ready(r)
+    compile_s = time.perf_counter() - t0
+
+    best = 0.0
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        states, obs, key, r = run(states, obs, key)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        best = max(best, N_ENVS * N_STEPS / dt)
+
+    ref_file = pathlib.Path(__file__).parent / "tools/reference_baseline.json"
+    ref_sps = json.loads(ref_file.read_text())[
+        "reference_env_steps_per_sec_cpu"] if ref_file.exists() else 140.8
+
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_4096envs",
+        "value": round(best, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / ref_sps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
