@@ -55,6 +55,10 @@ class VecEnv:
             rstate = rstate._replace(last_pitch=state2.last_pitch,
                                      last_t=jnp.float32(0.0),
                                      has_last=state2.has_last)
+            # env-instance properties that survive episode resets
+            # (e.g. Env03-v2 attack side, chosen once per env instance)
+            if hasattr(self.env, "carry_across_reset"):
+                rstate = self.env.carry_across_reset(state2, rstate)
             # inside vmap `done` is a scalar bool -> plain where on every leaf
             new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
                                      rstate, state2)
