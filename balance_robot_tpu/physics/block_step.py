@@ -1,10 +1,10 @@
 """Physics step for the env03 scenes: robot (8 dof) + projectile block (6 dof).
 
 The block is an independent free body in its own kinematic tree: the mass
-matrix is block-diagonal (M_robot 8x8 + M_block 6x6) and only the contact
-solver couples the trees (rows spanning all 14 dofs).  The robot half reuses
-robot_core verbatim; the block half is the standard free-body com-frame
-dynamics (gyroscopic bias + gravity).
+matrix is block-diagonal (M_robot 8x8 + m*I3 + I_block*I3 — the cube inertia
+is isotropic so the rotation drops out) and only the contact solver couples
+the trees (rows spanning all 14 dofs).  The robot half reuses robot_core
+verbatim; the block half is standard free-body com-frame dynamics.
 
 Block model constants (compiled env03_v1.xml, inertiafromgeom=true):
   mass 0.064, inertia 1.70667e-5 * I3, half-extent 0.02, margin 0.002.
@@ -17,6 +17,7 @@ Contact params (verified vs mujoco 3.10 probes):
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -26,7 +27,8 @@ from . import robot_core as rc
 from .robot_core import RobotSceneParams, ContactParams
 from . import contacts as ct
 from . import solver as sv
-from .box_collisions import box_box, box_cylinder, Contact2, make_frame
+from . import rows as rw
+from .box_collisions import box_box, box_cylinder
 
 NV = 14
 BLOCK_MASS = 0.064
@@ -34,6 +36,7 @@ BLOCK_I = 1.7066666666666667e-05
 BLOCK_HALF = (0.02, 0.02, 0.02)
 BLOCK_MARGIN = 0.002
 BLOCK_INVW = 15.625
+BLOCK_DOFS = (8, 9, 10, 11, 12, 13)
 
 BLOCK_FLOOR = ContactParams(
     solref=(0.0125, 0.95), solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
@@ -47,8 +50,8 @@ BLOCK_WHEEL = ContactParams(
     friction=(1.0, 1.0), margin=BLOCK_MARGIN,
     invweight=3.3757186541109845 + BLOCK_INVW)
 
-# env03 wheel/chassis floor contacts use default geom params (no <contact>
-# block in env03_v1.xml) — same as ENV02
+# env03_v1.xml has no <contact> block: wheel/chassis floor contacts use the
+# default geom-derived params (same as env02)
 ENV03_PARAMS = rc.ENV02_PARAMS
 
 
@@ -61,116 +64,30 @@ class PhysState14(NamedTuple):
 def block_fk(qpos_b):
     pos = (qpos_b[0], qpos_b[1], qpos_b[2])
     quat = qnormalize((qpos_b[3], qpos_b[4], qpos_b[5], qpos_b[6]))
-    R = qmat(quat)
-    return pos, quat, R
+    return pos, quat, qmat(quat)
 
 
-def block_smooth(pos, R, qvel_b, gravity):
-    """Free-body dynamics in the com frame (com == body origin, ipos=0).
-
-    Returns (M_rot 3x3 world, bias(6)).  M_trans = m*I; no cross terms.
-    cdof: trans = world axes; rot = body axes (world-rotated) with zero lever
-    (the frame origin is the com itself).
-    """
-    # world inertia: R * (I*1) * R^T = BLOCK_I * I3 (isotropic!)
-    # (cube inertia is isotropic, so the rotation drops out)
-    # bias: gyroscopic term on rotation dofs. cvel_ang = R omega_local.
-    w_l = (qvel_b[3], qvel_b[4], qvel_b[5])
-    w_w = mvmul(R, w_l)
-    Iw = vscale(w_w, BLOCK_I)
-    gyro = vcross(w_w, Iw)      # = 0 for isotropic inertia, kept for clarity
-    # qfrc_bias_j = cdof_j . cfrc; rotation dofs see gyro along body axes,
-    # translation dofs see -m*g... RNE: cacc0 lin = -g; f = m*(-g);
-    # bias_trans_i = e_i . m*(-g)
-    bias = [0.0] * 6
+def block_bias(R, qvel_b, gravity):
+    """Free-body qfrc_bias: gravity on translations; the gyroscopic term
+    vanishes for the isotropic cube inertia but is kept for fidelity."""
+    w_w = mvmul(R, (qvel_b[3], qvel_b[4], qvel_b[5]))
+    gyro = vcross(w_w, vscale(w_w, BLOCK_I))
+    bias = [-BLOCK_MASS * g for g in gravity]
     for i in range(3):
-        bias[i] = -BLOCK_MASS * gravity[i]
-    for i in range(3):
-        a = mcol(R, i)
-        bias[3 + i] = vdot(a, gyro)
+        bias.append(vdot(mcol(R, i), gyro))
     return tuple(bias)
 
 
-def block_cdof(pos, R, com_b):
-    """Block cdof spatial vectors (c-frame origin = block com = pos)."""
-    cdof = []
-    for i in range(3):
-        e = tuple(1.0 if j == i else 0.0 for j in range(3))
-        cdof.append((0.0, 0.0, 0.0) + e)
-    for i in range(3):
-        a = mcol(R, i)
-        cdof.append(a + (0.0, 0.0, 0.0))
-    return tuple(cdof)
+def pair_to_set(pc, body1_dofs, params, nv=NV):
+    """PairContacts (block vs robot body) -> ContactSet.
 
-
-def contact_rows_14(robot_cons, block_floor_cons, pair_cons, cdof_r, com_r,
-                    cdof_b, com_b, qvel, friction=None):
-    """Build the 14-dof efc rows: robot-floor contacts (z-frame), block-floor
-    contacts, and robot-block Contact2 pairs with arbitrary frames."""
-    p_env = ENV03_PARAMS
-    rows_J, arefs, Ds, masks = [], [], [], []
-
-    def add_contact(chain_pos, chains, n, t1, t2, dist_efc, inc, prm,
-                    fric_scale=None):
-        """chains: list of (dof_list, sign, cdof, com) pairs."""
-        mu1, mu2 = prm.friction
-        if fric_scale is not None:
-            mu1 = jnp.maximum(fric_scale, sv.MJ_MINMU)
-            mu2 = mu1
-        tc, dr = prm.solref
-        dmax = max(prm.solimp[0], prm.solimp[1])
-        imp = sv.impedance(dist_efc, prm.solimp)
-        k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
-        b = 2.0 / (dmax * tc)
-        Jn = [0.0] * NV
-        Jt1 = [0.0] * NV
-        Jt2 = [0.0] * NV
-        for dofs, sgn, cdof, com in chains:
-            rel = vsub(chain_pos, com)
-            for j_local, j in enumerate(dofs):
-                cd = cdof[j_local] if len(cdof) == len(dofs) else cdof[j]
-                ang, lin = cd[:3], cd[3:]
-                v = vadd(lin, vcross(ang, rel))
-                Jn[j] = Jn[j] + sgn * vdot(n, v)
-                Jt1[j] = Jt1[j] + sgn * vdot(t1, v)
-                Jt2[j] = Jt2[j] + sgn * vdot(t2, v)
-        incf = jnp.where(inc, 1.0, 0.0)
-        for mu, Jt in ((mu1, Jt1), (mu2, Jt2)):
-            dA = 2.0 * mu * mu * (1.0 + mu * mu) * prm.invweight
-            Rreg = jnp.maximum(sv.MJ_MINVAL, (1.0 - imp) / imp * dA)
-            for sgn2 in (1.0, -1.0):
-                row = tuple(Jn[j] + sgn2 * mu * Jt[j] for j in range(NV))
-                vel = sum(row[j] * qvel[j] for j in range(NV))
-                arefs.append(-b * vel - k * imp * dist_efc)
-                Ds.append(1.0 / Rreg)
-                masks.append(incf)
-                rows_J.append(row)
-
-    ZN, ZT1, ZT2 = ct.NORMAL, ct.T1, ct.T2
-    CH = {0: (0, 1, 2, 3, 4, 5), 1: (0, 1, 2, 3, 4, 5, 6),
-          2: (0, 1, 2, 3, 4, 5, 7)}
-    for c in robot_cons:
-        prm = (p_env.wheel_contact if c.body in (1, 2)
-               else p_env.chassis_contact)
-        fs = friction if (p_env.dynamic_friction and c.body in (1, 2)) \
-            else None
-        add_contact(c.pos, [(CH[c.body], 1.0, cdof_r, com_r)],
-                    ZN, ZT1, ZT2, c.dist, c.include, prm, fs)
-    for c in block_floor_cons:
-        # efc pos shifted by includemargin
-        add_contact(c.pos, [(tuple(range(8, 14)), 1.0, cdof_b, com_b)],
-                    ZN, ZT1, ZT2, c.dist - BLOCK_MARGIN, c.include,
-                    BLOCK_FLOOR)
-    for c in pair_cons:
-        prm = BLOCK_CHASSIS if c.body1 == 0 else BLOCK_WHEEL
-        add_contact(c.pos,
-                    [(tuple(range(8, 14)), 1.0, cdof_b, com_b),
-                     (CH[c.body1], -1.0, cdof_r, com_r)],
-                    c.normal, c.t1, c.t2, c.dist - BLOCK_MARGIN, c.include,
-                    prm)
-    Jc = tuple(jnp.stack([r[j] for r in rows_J]) for j in range(NV))
-    return sv.EfcRows(Jc=Jc, aref=jnp.stack(arefs), D=jnp.stack(Ds),
-                      mask=jnp.stack(masks))
+    J = J(block) - J(robot body); efc pos = dist - includemargin."""
+    n = pc.pos.shape[0]
+    return rw.ContactSet(
+        pos=pc.pos, dist=pc.dist - BLOCK_MARGIN, include=pc.include,
+        frame=pc.frame,
+        sign=rw.sign_matrix(nv, n, BLOCK_DOFS, body1_dofs),
+        params=params)
 
 
 def forward14(state: PhysState14, ctrl, p: RobotSceneParams, friction=None):
@@ -183,16 +100,16 @@ def forward14(state: PhysState14, ctrl, p: RobotSceneParams, friction=None):
     M_r = rc.crb_mass_matrix(k)
     bias_r = rc.rne_bias(k, kv, qvel_r, p.gravity)
     qfrc_act, dfdv = rc.actuation(ctrl, qvel_r, p)
-    passive_r = (0.0,) * 6 + (-p.joint_damping * qvel_r[6],
-                              -p.joint_damping * qvel_r[7])
-    qfrc_smooth_r = tuple(qfrc_act[j] + passive_r[j] - bias_r[j]
-                          for j in range(8))
+    qfrc_smooth_r = tuple(
+        qfrc_act[j]
+        + (-p.joint_damping * qvel_r[6] if j == 6 else 0.0)
+        + (-p.joint_damping * qvel_r[7] if j == 7 else 0.0)
+        - bias_r[j] for j in range(8))
 
     pos_b, quat_b, R_b = block_fk(qpos_b)
-    bias_b = block_smooth(pos_b, R_b, qvel_b, p.gravity)
-    qfrc_smooth_b = tuple(-bias_b[j] for j in range(6))
+    bias_b = block_bias(R_b, qvel_b, p.gravity)
+    qfrc_smooth_b = tuple(-x for x in bias_b)
 
-    # full M as block-diagonal 14x14 (block part: m*I3 + BLOCK_I*I3)
     M = [[0.0] * NV for _ in range(NV)]
     for i in range(8):
         for j in range(8):
@@ -205,24 +122,46 @@ def forward14(state: PhysState14, ctrl, p: RobotSceneParams, friction=None):
     L = chol_factor(M, NV)
     a_smooth = chol_solve(L, qfrc_smooth, NV)
 
-    # contacts
-    wheel_cons, chassis_cons = ct.robot_floor_contacts(k)
-    block_floor_cons = ct.plane_box(pos_b, R_b, BLOCK_HALF, BLOCK_MARGIN,
-                                    body=3)
+    # ----- contacts (array form)
+    Rm = jnp.stack([jnp.stack(r) for r in k["R"]])       # (3,3) rows
+    Rb = jnp.stack([jnp.stack(r) for r in R_b])
+    cb = jnp.stack(pos_b)
     chassis_center = vadd(k["pos"], mvmul(k["R"], (0.0, 0.0, 0.0995)))
-    bb = box_box(chassis_center, k["R"], (0.05, 0.0185, 0.0855),
-                 pos_b, R_b, BLOCK_HALF, BLOCK_MARGIN, body1=0, body2=3)
-    axis = mcol(k["R"], 0)
-    bw_l = box_cylinder(pos_b, R_b, BLOCK_HALF, k["xpos_l"], axis,
-                        0.034, 0.013, BLOCK_MARGIN, body1=1, body2=3)
-    bw_r = box_cylinder(pos_b, R_b, BLOCK_HALF, k["xpos_r"], axis,
-                        0.034, 0.013, BLOCK_MARGIN, body1=2, body2=3)
+    cc = jnp.stack(chassis_center)
+    axis = jnp.stack(mcol(k["R"], 0))
+    xl = jnp.stack(k["xpos_l"])
+    xr = jnp.stack(k["xpos_r"])
 
-    cdof_b = block_cdof(pos_b, R_b, pos_b)
-    rows = contact_rows_14(
-        wheel_cons + chassis_cons, tuple(block_floor_cons),
-        tuple(bb) + tuple(bw_l) + tuple(bw_r),
-        k["cdof"], k["com"], cdof_b, pos_b, qvel, friction=friction)
+    sets = [
+        ct.wheel_floor_set(k, 1, p.wheel_contact, NV),
+        ct.wheel_floor_set(k, 2, p.wheel_contact, NV),
+        ct.box_floor_set(chassis_center, k["R"], (0.05, 0.0185, 0.0855),
+                         0.0, p.chassis_contact, NV, (0, 1, 2, 3, 4, 5)),
+        ct.box_floor_set(pos_b, R_b, BLOCK_HALF, BLOCK_MARGIN, BLOCK_FLOOR,
+                         NV, BLOCK_DOFS, includemargin=BLOCK_MARGIN),
+        pair_to_set(box_box(cc, Rm, (0.05, 0.0185, 0.0855), cb, Rb,
+                            BLOCK_HALF, BLOCK_MARGIN),
+                    (0, 1, 2, 3, 4, 5), BLOCK_CHASSIS),
+        pair_to_set(box_cylinder(cb, Rb, BLOCK_HALF, xl, axis, 0.034,
+                                 0.013, BLOCK_MARGIN),
+                    (0, 1, 2, 3, 4, 5, 6), BLOCK_WHEEL),
+        pair_to_set(box_cylinder(cb, Rb, BLOCK_HALF, xr, axis, 0.034,
+                                 0.013, BLOCK_MARGIN),
+                    (0, 1, 2, 3, 4, 5, 7), BLOCK_WHEEL),
+    ]
+    cdof_b = [jnp.array([0.0, 0, 0, 1, 0, 0]), jnp.array([0.0, 0, 0, 0, 1, 0]),
+              jnp.array([0.0, 0, 0, 0, 0, 1])]
+    cdof_b += [jnp.concatenate([Rb[:, i], jnp.zeros(3)]) for i in range(3)]
+    cdof_arr = jnp.concatenate([
+        jnp.stack([jnp.stack(c) for c in k["cdof"]]),
+        jnp.stack(cdof_b)])
+    com_r = jnp.stack(k["com"])
+    com_dof = jnp.concatenate([jnp.tile(com_r[None], (8, 1)),
+                               jnp.tile(cb[None], (6, 1))])
+    qvel_arr = jnp.stack(qvel)
+    fric = friction if p.dynamic_friction else None
+    rows = rw.build_rows(sets, cdof_arr, com_dof, qvel_arr, NV,
+                         friction=fric)
 
     cost_ws = sv.cost(state.warmstart, a_smooth, M, rows, NV)
     cost_sm = sv.cost(a_smooth, a_smooth, M, rows, NV)

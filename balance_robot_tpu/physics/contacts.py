@@ -118,3 +118,50 @@ def robot_floor_contacts(k, wheel_margin=0.0, chassis_margin=0.0):
     ch = plane_box(chassis_center, R, (0.05, 0.0185, 0.0855), chassis_margin,
                    body=0)
     return tuple(wl) + tuple(wr), tuple(ch)
+
+
+# ------------------------------------------------ array-form ContactSets
+
+def _stack_contacts(cons):
+    import jax.numpy as jnp
+    pos = jnp.stack([jnp.stack(c.pos) for c in cons])
+    dist = jnp.stack([c.dist for c in cons])
+    inc = jnp.stack([c.include for c in cons])
+    return pos, dist, inc
+
+
+def wheel_floor_set(k, wheel, params, nv, margin=0.0):
+    """ContactSet for one wheel (4 plane-cylinder candidates)."""
+    from . import rows as rw
+    axis = mcol(k["R"], 0)
+    center = k["xpos_l"] if wheel == 1 else k["xpos_r"]
+    cons = plane_cylinder(center, axis, 0.034, 0.013, margin, body=wheel)
+    pos, dist, inc = _stack_contacts(cons)
+    dofs = (0, 1, 2, 3, 4, 5, 6) if wheel == 1 else (0, 1, 2, 3, 4, 5, 7)
+    return rw.ContactSet(pos=pos, dist=dist, include=inc,
+                         frame=rw.floor_frames(4),
+                         sign=rw.sign_matrix(nv, 4, dofs),
+                         params=params, dyn_friction=True)
+
+
+def box_floor_set(center, R, half, margin, params, nv, dofs,
+                  includemargin=0.0, max_corners=4):
+    """ContactSet for an oriented box vs the floor: the `max_corners` deepest
+    penetrating corners (array form)."""
+    import jax.numpy as jnp
+    from . import rows as rw
+    signs = jnp.asarray([[(1.0 if (i >> kk) & 1 else -1.0) for kk in range(3)]
+                         for i in range(8)])
+    Rm = jnp.stack([jnp.stack(r) for r in R])           # (3,3) rows
+    cm = jnp.stack(center)
+    local = signs * jnp.asarray(half)
+    corners = cm[None, :] + local @ Rm.T                # (8,3)
+    dist = corners[:, 2] - FLOOR_Z
+    order = jnp.argsort(dist)
+    rank = jnp.argsort(order)                            # rank[i] = position
+    inc = (dist < margin) & (rank < max_corners)
+    pos = corners.at[:, 2].add(-dist * 0.5)
+    return rw.ContactSet(pos=pos, dist=dist - includemargin, include=inc,
+                         frame=rw.floor_frames(8),
+                         sign=rw.sign_matrix(nv, 8, dofs),
+                         params=params)

@@ -36,11 +36,6 @@ from .contacts import NORMAL, T1, T2
 MJ_MINVAL = 1e-15
 MJ_MINMU = 1e-5
 
-# dof chains per contact body id (0=chassis, 1=l_wheel, 2=r_wheel, 3=block)
-CHAINS = {0: (0, 1, 2, 3, 4, 5), 1: (0, 1, 2, 3, 4, 5, 6),
-          2: (0, 1, 2, 3, 4, 5, 7), 3: (8, 9, 10, 11, 12, 13)}
-
-
 class EfcRows(NamedTuple):
     Jc: tuple       # nv arrays of shape (R,): J columns
     aref: object    # (R,)
@@ -56,57 +51,6 @@ def impedance(pos, solimp):
     b = 1.0 / ((1.0 - mid) ** (power - 1.0))
     y = jnp.where(x < mid, a * x ** power, 1.0 - b * (1.0 - x) ** power)
     return jnp.clip(d0 + y * (d1 - d0), 0.0001, 0.9999)
-
-
-def contact_rows(contacts, params_for, cdof, com, qvel, nv,
-                 friction_scale=None):
-    """Build pyramidal efc rows for a tuple of Contact records.
-
-    params_for: callable contact -> ContactParams (static dispatch on body id)
-    friction_scale: optional scalar overriding wheel mu (env02 randomization).
-    """
-    rows_J, arefs, Ds, masks = [], [], [], []
-    for c in contacts:
-        p = params_for(c)
-        mu1, mu2 = p.friction
-        if friction_scale is not None and c.body in (1, 2):
-            mu1 = jnp.maximum(friction_scale, MJ_MINMU)
-            mu2 = mu1
-        tc, dr = p.solref
-        dmax = max(p.solimp[0], p.solimp[1])
-        # efc_pos = dist - includemargin (0 for robot contacts)
-        imp = impedance(c.dist, p.solimp)
-        k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
-        b = 2.0 / (dmax * tc)
-        chain = CHAINS[c.body]
-        pt = c.pos   # Jacobian built at contact midpoint (MuJoCo convention)
-        Jn = [0.0] * nv
-        Jt1 = [0.0] * nv
-        Jt2 = [0.0] * nv
-        rel = (pt[0] - com[0], pt[1] - com[1], pt[2] - com[2])
-        for j in chain:
-            ang = cdof[j][:3]
-            lin = cdof[j][3:]
-            vx = lin[0] + ang[1] * rel[2] - ang[2] * rel[1]
-            vy = lin[1] + ang[2] * rel[0] - ang[0] * rel[2]
-            vz = lin[2] + ang[0] * rel[1] - ang[1] * rel[0]
-            Jn[j] = NORMAL[0] * vx + NORMAL[1] * vy + NORMAL[2] * vz
-            Jt1[j] = T1[0] * vx + T1[1] * vy + T1[2] * vz
-            Jt2[j] = T2[0] * vx + T2[1] * vy + T2[2] * vz
-        inc = jnp.where(c.include, 1.0, 0.0)
-        for mu, Jt in ((mu1, Jt1), (mu2, Jt2)):
-            dA = 2.0 * mu * mu * (1.0 + mu * mu) * p.invweight
-            R = jnp.maximum(MJ_MINVAL, (1.0 - imp) / imp * dA)
-            for sgn in (1.0, -1.0):
-                row = tuple(Jn[j] + sgn * mu * Jt[j] for j in range(nv))
-                vel = sum(row[j] * qvel[j] for j in chain)
-                arefs.append(-b * vel - k * imp * c.dist)
-                Ds.append(1.0 / R)
-                masks.append(inc)
-                rows_J.append(row)
-    Jc = tuple(jnp.stack([r[j] for r in rows_J]) for j in range(nv))
-    return EfcRows(Jc=Jc, aref=jnp.stack(arefs), D=jnp.stack(Ds),
-                   mask=jnp.stack(masks))
 
 
 def _jar(a, rows, nv):

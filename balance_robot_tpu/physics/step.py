@@ -14,11 +14,17 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from .slin import quat_integrate, chol_factor, chol_solve
+from .slin import quat_integrate, chol_factor, chol_solve, vadd, mvmul
 from . import robot_core as rc
 from .robot_core import RobotSceneParams, NV
 from . import contacts as ct
 from . import solver as sv
+from . import rows as rw
+
+
+def vadd3(pos, R):
+    """Chassis geom center: body pos + R @ (0,0,0.0995)."""
+    return vadd(pos, mvmul(R, (0.0, 0.0, 0.0995)))
 
 
 class PhysState(NamedTuple):
@@ -46,13 +52,20 @@ def forward(state: PhysState, ctrl, p: RobotSceneParams, friction=None):
     L = chol_factor(M, NV)
     a_smooth = chol_solve(L, qfrc_smooth, NV)
 
-    wheel_cons, chassis_cons = ct.robot_floor_contacts(k)
-    def params_for(c):
-        return p.wheel_contact if c.body in (1, 2) else p.chassis_contact
     fric = friction if p.dynamic_friction else None
-    rows = sv.contact_rows(wheel_cons + chassis_cons, params_for,
-                           k["cdof"], k["com"], qvel, NV,
-                           friction_scale=fric)
+    sets = [
+        ct.wheel_floor_set(k, 1, p.wheel_contact, NV),
+        ct.wheel_floor_set(k, 2, p.wheel_contact, NV),
+        ct.box_floor_set(vadd3(k["pos"], k["R"]), k["R"],
+                         (0.05, 0.0185, 0.0855), 0.0, p.chassis_contact, NV,
+                         (0, 1, 2, 3, 4, 5)),
+    ]
+    cdof_arr = jnp.stack([jnp.stack(c) for c in k["cdof"]])
+    com_arr = jnp.stack(k["com"])
+    com_dof = jnp.tile(com_arr[None, :], (NV, 1))
+    qvel_arr = jnp.stack(qvel)
+    rows = rw.build_rows(sets, cdof_arr, com_dof, qvel_arr, NV,
+                         friction=fric)
     # warmstart selection (MuJoCo: better of warmstart / qacc_smooth by cost)
     cost_ws = sv.cost(state.warmstart, a_smooth, M, rows, NV)
     cost_sm = sv.cost(a_smooth, a_smooth, M, rows, NV)
