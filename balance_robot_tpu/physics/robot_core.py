@@ -85,6 +85,13 @@ class RobotSceneParams:
         invweight=1.2709072512005732)
     # env02: friction taken from env state instead of the static pair value
     dynamic_friction: bool = False
+    # envMove05: static wall boxes ((center, half-extents), ...) the robot
+    # collides with (axis-aligned, world body)
+    walls: tuple = ()
+    wall_contact: ContactParams = ContactParams(
+        solref=(0.02, 1.0), solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
+        friction=(1.0, 1.0), margin=0.0,
+        invweight=0.0)  # per-contact invweight added from the robot body
     # solver iteration counts (fixed for jit; validated vs oracle tolerance)
     newton_iters: int = 8
     ls_iters: int = 10

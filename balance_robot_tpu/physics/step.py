@@ -27,6 +27,43 @@ def vadd3(pos, R):
     return vadd(pos, mvmul(R, (0.0, 0.0, 0.0995)))
 
 
+def _wall_sets(k, p: RobotSceneParams):
+    """Robot vs static wall boxes (envMove05_v1.xml corridor): chassis
+    box-box + wheel box-cylinder contacts.  Walls are the world body, so the
+    rows carry -J(robot) (geom1 = robot, geom2 = wall in id order)."""
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from .box_collisions import box_box, box_cylinder
+    Rm = jnp.stack([jnp.stack(r) for r in k["R"]])
+    cc = jnp.stack(vadd3(k["pos"], k["R"]))
+    axis = jnp.stack([k["R"][0][0], k["R"][1][0], k["R"][2][0]])
+    xl = jnp.stack(k["xpos_l"])
+    xr = jnp.stack(k["xpos_r"])
+    CH_DOFS = (0, 1, 2, 3, 4, 5)
+    W_DOFS = {1: (0, 1, 2, 3, 4, 5, 6), 2: (0, 1, 2, 3, 4, 5, 7)}
+    CH_INVW = 1.2709072512005732
+    W_INVW = 3.3757186541109845
+    sets = []
+    for center, half in p.walls:
+        cw = jnp.asarray(center)
+        Rw = jnp.eye(3)
+        bb = box_box(cc, Rm, (0.05, 0.0185, 0.0855), cw, Rw, half, 0.0)
+        prm = replace(p.wall_contact, invweight=CH_INVW)
+        sets.append(rw.ContactSet(
+            pos=bb.pos, dist=bb.dist, include=bb.include, frame=bb.frame,
+            sign=rw.sign_matrix(NV, bb.pos.shape[0], (), CH_DOFS),
+            params=prm))
+        for wheel, xw in ((1, xl), (2, xr)):
+            bc = box_cylinder(cw, Rw, half, xw, axis, 0.034, 0.013, 0.0)
+            prm = replace(p.wall_contact, invweight=W_INVW)
+            sets.append(rw.ContactSet(
+                pos=bc.pos, dist=bc.dist, include=bc.include, frame=bc.frame,
+                sign=rw.sign_matrix(NV, bc.pos.shape[0], (),
+                                    W_DOFS[wheel]),
+                params=prm))
+    return sets
+
+
 class PhysState(NamedTuple):
     qpos: tuple      # 9 scalars
     qvel: tuple      # 8 scalars
@@ -60,6 +97,8 @@ def forward(state: PhysState, ctrl, p: RobotSceneParams, friction=None):
                          (0.05, 0.0185, 0.0855), 0.0, p.chassis_contact, NV,
                          (0, 1, 2, 3, 4, 5)),
     ]
+    if p.walls:
+        sets += _wall_sets(k, p)
     cdof_arr = jnp.stack([jnp.stack(c) for c in k["cdof"]])
     com_arr = jnp.stack(k["com"])
     com_dof = jnp.tile(com_arr[None, :], (NV, 1))

@@ -93,7 +93,10 @@ class PPO:
             mean, log_std, val = mlp.forward(ts.params, ts.last_obs)
             actions = mlp.sample(k_act, mean, log_std)
             logp = mlp.log_prob(mean, log_std, actions)
-            env_states, out = self.vec.step(ts.env_states, actions)
+            # SB3 clips actions to the Box bounds before env.step (the
+            # unclipped sample is what enters the gradient)
+            env_actions = jnp.clip(actions, -1.0, 1.0)
+            env_states, out = self.vec.step(ts.env_states, env_actions)
             # SB3 timeout bootstrap: when truncated (not terminated), add
             # gamma * V(terminal_obs) to the reward
             term_val = mlp.value(ts.params, out.terminal_obs)
@@ -216,7 +219,7 @@ class PPO:
 
             def body(carry):
                 state, obs, ret, done, t = carry
-                action = mlp.policy_mean(params, obs)
+                action = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
                 state, obs2, r, term, trunc = self.env.step(state, action)
                 ret = ret + jnp.where(done, 0.0, r)
                 done2 = done | term | trunc
