@@ -113,7 +113,10 @@ def quat_integrate(q, omega_local, h):
     angle = h * jnp.sqrt(wx * wx + wy * wy + wz * wz)
     # guard: normalized axis with safe divide; when angle==0 -> identity quat
     norm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
-    safe = jnp.maximum(norm, 1e-300)
+    # dtype-safe guard: 1e-300 underflows to 0 in float32, giving 0/0=NaN for
+    # a body at exact rest; dividing by 1 instead is exact (w==0 -> axis 0)
+    # and leaves every norm>0 case bit-identical.
+    safe = jnp.where(norm > 0, norm, jnp.ones_like(norm))
     ax, ay, az = wx / safe, wy / safe, wz / safe
     half = angle * 0.5
     s = jnp.where(norm > 0, jnp.sin(half), 0.0)

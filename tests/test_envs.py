@@ -60,7 +60,7 @@ def test_env03_block_spawn_and_events():
     env = brt.make("Env03-v1")
     state, obs = jax.jit(env.reset)(jax.random.PRNGKey(1))
     qpos = np.asarray(jnp.stack(state.phys.qpos))
-    qvel = np.asarray(jnp.stack(state.phys.qvel))
+    qvel = np.array(jnp.stack(state.phys.qvel))   # writable copy
     # block spawned on the 0.3 m circle with |v| = 5 (env03_v1.py:88-114)
     r = np.linalg.norm(qpos[9:11] - qpos[0:2])
     assert abs(r - 0.3) < 0.02
