@@ -63,9 +63,18 @@ def cli(ctx, algorithm, model):
 @click.option("--seed", default=0, show_default=True)
 @click.option("--total-timesteps", default=int(1e10), show_default=True)
 @click.option("--max-wall", default=None, type=float)
+@click.option("--gamma", default=0.99, show_default=True,
+              help="discount (SB3 default 0.99; 0.999 recommended at TPU "
+                   "scale - the massively parallel exploration otherwise "
+                   "finds the pitch*dv reward exploit, see docs)")
+@click.option("--eval-freq", default=200_000, show_default=True,
+              help="global env steps between evals")
+@click.option("--resume", is_flag=True, default=False,
+              help="continue from <run dir>/resume_state.npz (full "
+                   "params+opt+env+rng restore after preemption)")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
-          total_timesteps, max_wall):
+          total_timesteps, max_wall, gamma, eval_freq, resume):
     """Train (warm start with -m = the curriculum mechanism)."""
     import balance_robot_tpu as brt
     from .train.ppo import PPOConfig
@@ -78,10 +87,10 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
         init = checkpoint.load(ctx.obj["MODEL_PATH"])
         click.echo(f"warm start from {ctx.obj['MODEL_PATH']}")
     cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
-                    minibatch_size=minibatch)
+                    minibatch_size=minibatch, gamma=gamma)
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
-                 init_params=init, max_wall_s=max_wall,
-                 run_name=f"{env_id}_{algo}")
+                 init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
+                 run_name=f"{env_id}_{algo}", resume=resume)
 
 
 def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,

@@ -32,9 +32,43 @@ def load(path):
         return {k: f[k] for k in f.files}
 
 
-def save_train_state(path, ts):
-    """Full resume state: params + opt state + env states + rng."""
-    leaves, treedef = jax.tree.flatten(ts)
-    np.savez(path, treedef=np.frombuffer(
-        repr(treedef).encode(), dtype=np.uint8),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+def save_train_state(path, ts, steps=0):
+    """Full preemption-resume state: params + opt state + env states + rng.
+
+    The pytree STRUCTURE is not serialized — `load_train_state` rebuilds it
+    from a freshly-initialized TrainState of the same config and swaps in the
+    saved leaves, so the artifact stays a plain npz (replaces the reference's
+    SB3 zip; resume semantics are deterministic restart from
+    (params, opt_state, env_state, rng), SURVEY §5)."""
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    leaves = jax.tree.leaves(ts)
+    np.savez(path, __steps__=np.int64(steps),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_train_state(path, ts_like):
+    """Restore a train state saved by `save_train_state`.
+
+    `ts_like` is a TrainState built by `PPO.init` with the SAME config; its
+    tree structure indexes the saved leaves. Returns (ts, steps)."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    leaves, treedef = jax.tree.flatten(ts_like)
+    with np.load(path) as f:
+        steps = int(f["__steps__"]) if "__steps__" in f.files else 0
+        n_saved = sum(1 for k in f.files if k.startswith("leaf_"))
+        if n_saved != len(leaves):
+            raise ValueError(
+                f"resume state at {path} has {n_saved} leaves; the current "
+                f"config produces {len(leaves)} — configs must match")
+        saved = [f[f"leaf_{i}"] for i in range(n_saved)]
+    try:
+        restored = [np.asarray(s, dtype=l.dtype).reshape(np.shape(l))
+                    for s, l in zip(saved, leaves)]
+    except ValueError as e:
+        raise ValueError(
+            f"resume state at {path} has mismatched leaf shapes "
+            f"({e}) — configs must match") from e
+    return jax.tree.unflatten(treedef, restored), steps

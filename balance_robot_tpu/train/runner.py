@@ -30,19 +30,30 @@ def train(env, config: PPOConfig, seed=0,
           eval_freq=20_000, ckpt_freq=40_000, n_eval_episodes=5,
           reward_threshold=None, models_dir="models", logs_dir="logs",
           run_name=None, init_params=None, max_wall_s=None, verbose=True,
-          mesh=None):
-    """Returns (best_params, history). SB3-default semantics throughout."""
+          mesh=None, resume=False):
+    """Returns (best_params, history). SB3-default semantics throughout.
+
+    `resume=True` restores (params, opt_state, env_states, rng) and the
+    global step counter from `<models_dir>/<run_name>/resume_state.npz` if
+    present — deterministic restart after preemption (SURVEY §5)."""
     cfg = config
     ppo = PPO(env, cfg)
     key = jax.random.PRNGKey(seed)
     ts = ppo.init(key, params=init_params)
-    if mesh is not None:
-        from ..parallel import mesh as pm
-        ts = pm.shard_train_state(ts, mesh, cfg.n_envs)
 
     run_name = run_name or f"{env.id}_PPO"
     mdir = pathlib.Path(models_dir) / run_name
     mdir.mkdir(parents=True, exist_ok=True)
+    resume_path = mdir / "resume_state.npz"
+    resumed_steps = 0
+    if resume and resume_path.exists():
+        ts, resumed_steps = ckpt.load_train_state(resume_path, ts)
+        if verbose:
+            print(f"[{run_name}] resumed at step {resumed_steps} "
+                  f"from {resume_path}", flush=True)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+        ts = pm.shard_train_state(ts, mesh, cfg.n_envs)
     ldir = pathlib.Path(logs_dir)
     ldir.mkdir(parents=True, exist_ok=True)
     log_path = ldir / f"{run_name}.csv"
@@ -54,9 +65,9 @@ def train(env, config: PPOConfig, seed=0,
     threshold = (reward_threshold if reward_threshold is not None
                  else getattr(env, "reward_threshold", None))
     steps_per_iter = cfg.n_envs * cfg.n_steps
-    steps = 0
-    next_eval = eval_freq
-    next_ckpt = ckpt_freq
+    steps = resumed_steps
+    next_eval = steps + eval_freq
+    next_ckpt = steps + ckpt_freq
     best = -np.inf
     best_params = jax.tree.map(lambda x: x, ts.params)
     history = []
@@ -68,6 +79,7 @@ def train(env, config: PPOConfig, seed=0,
         steps += steps_per_iter
         if steps >= next_ckpt:
             ckpt.save(mdir / f"cp_{steps}", ts.params)
+            ckpt.save_train_state(resume_path, ts, steps=steps)
             next_ckpt += ckpt_freq
         if steps >= next_eval:
             next_eval += eval_freq
@@ -108,4 +120,7 @@ def train(env, config: PPOConfig, seed=0,
             break
     logf.close()
     ckpt.save(mdir / "final_model", jax.tree.map(np.asarray, ts.params))
+    # always leave resume state at exit so a wall-budget or preempted run
+    # can continue with --resume regardless of ckpt cadence
+    ckpt.save_train_state(resume_path, ts, steps=steps)
     return best_params, history

@@ -21,11 +21,14 @@ p.add_argument("--max-steps", type=int, default=int(3e7))
 p.add_argument("--max-wall", type=float, default=None)
 p.add_argument("--run-name", default=None)
 p.add_argument("--eval-freq", type=int, default=200_000)
+p.add_argument("--gamma", type=float, default=0.99)
+p.add_argument("--ent-coef", type=float, default=0.0)
 args = p.parse_args()
 
 env = brt.make(args.env_id)
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
-                minibatch_size=args.mb, n_epochs=args.epochs)
+                minibatch_size=args.mb, n_epochs=args.epochs,
+                gamma=args.gamma, ent_coef=args.ent_coef)
 init = checkpoint.load(args.init) if args.init else None
 best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
