@@ -230,5 +230,11 @@ def box_cylinder(cbox, Rbox, half, ccyl, axis, r, h, margin):
     dist = jnp.where(outside, dl - support, -support - dl)
     surf = pc + support[:, None] * n
     pos = surf - 0.5 * dist[:, None] * n
-    return PairContacts(pos=pos, dist=dist, include=dist < margin,
+    # a sample point strictly inside the box has no defined normal (delta=0);
+    # emitting that row would produce phantom friction forces (the frame's
+    # tangents are arbitrary unit vectors even though n=0) — exclude it.
+    # Reachable dynamics never start inside: penetration grows ~0.15 mm per
+    # 2e-5 s substep and the cap points enter through the outside regime.
+    return PairContacts(pos=pos, dist=dist,
+                        include=(dist < margin) & outside,
                         frame=make_frames(n))
