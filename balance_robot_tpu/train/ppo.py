@@ -207,32 +207,50 @@ class PPO:
                         mean_ep_return=mean_ep_ret, n_episodes=ts.stat_n_eps)
 
     # -------------------------------------------------------------- eval
-    @partial(jax.jit, static_argnums=(0, 2, 4))
+    # One device kernel per CHUNK of control steps, host loop across chunks:
+    # a full 6000-step episode is 1.5M sequential physics substeps, and a
+    # single XLA program that long trips the TPU runtime watchdog (observed:
+    # worker crash at the first eval where the policy actually balances).
+    EVAL_CHUNK = 250
+
+    @partial(jax.jit, static_argnums=0)
+    def _eval_reset(self, keys):
+        states, obs = jax.vmap(self.env.reset)(keys)
+        n = keys.shape[0]
+        return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
+                jnp.zeros(n, jnp.int32))
+
+    @partial(jax.jit, static_argnums=0)
+    def _eval_chunk(self, params, carry):
+        def body(carry, _):
+            states, obs, ret, done, t = carry
+            action = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
+            states2, obs2, r, term, trunc = jax.vmap(self.env.step)(states,
+                                                                    action)
+            keep = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(
+                    done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), a, b)
+            states = keep(states, states2)
+            obs = keep(obs, obs2)
+            ret = ret + jnp.where(done, 0.0, r)
+            t = t + (~done).astype(jnp.int32)
+            done = done | term | trunc
+            return (states, obs, ret, done, t), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=self.EVAL_CHUNK)
+        return carry
+
     def evaluate(self, params, n_episodes: int, key, max_steps=None):
         """Deterministic-policy episode returns (EvalCallback semantics:
         mean reward over n episodes with deterministic actions)."""
         max_steps = max_steps or self.env.max_episode_steps
         keys = jax.random.split(key, n_episodes)
-
-        def one(key):
-            state, obs = self.env.reset(key)
-
-            def body(carry):
-                state, obs, ret, done, t = carry
-                action = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-                state, obs2, r, term, trunc = self.env.step(state, action)
-                ret = ret + jnp.where(done, 0.0, r)
-                done2 = done | term | trunc
-                return (state, obs2, ret, done2, t + 1)
-
-            def cond(carry):
-                _, _, _, done, t = carry
-                return (~done) & (t < max_steps)
-
-            _, _, ret, _, t = jax.lax.while_loop(
-                cond, body, (state, obs, jnp.float32(0.0),
-                             jnp.asarray(False), jnp.int32(0)))
-            return ret, t
-
-        rets, lens = jax.vmap(one)(keys)
+        carry = self._eval_reset(keys)
+        steps = 0
+        while steps < max_steps:
+            carry = self._eval_chunk(params, carry)
+            steps += self.EVAL_CHUNK
+            if bool(carry[3].all()):
+                break
+        _, _, rets, _, lens = carry
         return rets.mean(), lens.astype(jnp.float32).mean()

@@ -79,3 +79,18 @@ def test_sharded_iteration_multichip():
     assert np.isfinite(float(metrics["loss"]))
     # params stay replicated, env batch stays sharded
     assert len(ts.params["pi_w1"].sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_evaluate_chunked():
+    """evaluate runs as host-chunked kernels (one device program per 250
+    control steps — a full 6000-step episode in one kernel trips the TPU
+    watchdog) and respects termination/masking."""
+    env = _make_env01()
+    cfg = PPOConfig(n_envs=2, n_steps=2, minibatch_size=4, n_epochs=1)
+    ppo = PPO(env, cfg)
+    ts = ppo.init(jax.random.PRNGKey(0))
+    ret, length = ppo.evaluate(ts.params, 3, jax.random.PRNGKey(1),
+                               max_steps=300)
+    assert np.isfinite(float(ret))
+    assert 1 <= float(length) <= 300
