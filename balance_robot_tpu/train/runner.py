@@ -61,6 +61,13 @@ def train(env, config: PPOConfig, seed=0,
     if logf.tell() == 0:
         logf.write("steps,wall_s,mean_ep_return,eval_return,eval_len,"
                    "loss,v_loss,entropy\n")
+    # TensorBoard alongside the CSV (the reference's tensorboard_log,
+    # sb_rl.py:58,69,81); optional dependency
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(log_dir=str(ldir / "tb" / run_name))
+    except ImportError:
+        tb = None
 
     threshold = (reward_threshold if reward_threshold is not None
                  else getattr(env, "reward_threshold", None))
@@ -100,6 +107,16 @@ def train(env, config: PPOConfig, seed=0,
                                  "eval_return", "eval_len", "loss",
                                  "v_loss", "entropy"]) + "\n")
             logf.flush()
+            if tb is not None:
+                tb.add_scalar("rollout/ep_rew_mean", row["mean_ep_return"],
+                              steps)
+                tb.add_scalar("eval/mean_reward", eval_ret, steps)
+                tb.add_scalar("eval/mean_ep_length", row["eval_len"], steps)
+                tb.add_scalar("train/loss", m["loss"], steps)
+                tb.add_scalar("train/value_loss", m["v_loss"], steps)
+                tb.add_scalar("train/entropy_loss", -m["entropy"], steps)
+                tb.add_scalar("time/fps", steps / max(wall, 1e-9), steps)
+                tb.flush()
             if verbose:
                 print(f"[{run_name}] steps={steps} wall={wall:.0f}s "
                       f"train_ep_ret={m['mean_ep_return']:.1f} "
@@ -119,6 +136,8 @@ def train(env, config: PPOConfig, seed=0,
                 print(f"[{run_name}] wall-clock budget reached", flush=True)
             break
     logf.close()
+    if tb is not None:
+        tb.close()
     ckpt.save(mdir / "final_model", jax.tree.map(np.asarray, ts.params))
     # always leave resume state at exit so a wall-budget or preempted run
     # can continue with --resume regardless of ckpt cadence
