@@ -72,9 +72,13 @@ def cli(ctx, algorithm, model):
 @click.option("--resume", is_flag=True, default=False,
               help="continue from <run dir>/resume_state.npz (full "
                    "params+opt+env+rng restore after preemption)")
+@click.option("--lr", default=3e-4, show_default=True)
+@click.option("--epochs", default=10, show_default=True,
+              help="PPO epochs per iteration (SB3 default 10; 3-4 "
+                   "recommended when fine-tuning a warm start)")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
-          total_timesteps, max_wall, gamma, eval_freq, resume):
+          total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs):
     """Train (warm start with -m = the curriculum mechanism)."""
     import balance_robot_tpu as brt
     from .train.ppo import PPOConfig
@@ -87,10 +91,34 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
         init = checkpoint.load(ctx.obj["MODEL_PATH"])
         click.echo(f"warm start from {ctx.obj['MODEL_PATH']}")
     cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
-                    minibatch_size=minibatch, gamma=gamma)
+                    minibatch_size=minibatch, gamma=gamma, lr=lr,
+                    n_epochs=epochs)
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
                  init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
                  run_name=f"{env_id}_{algo}", resume=resume)
+
+
+@cli.command("bc-init")
+@click.option("-e", "--env", "env_id", required=True)
+@click.option("--out", default=None,
+              help="output npz (default models/bc_init_<env>.npz)")
+@click.option("--gamma", default=0.999, show_default=True)
+@click.option("--log-std", default=-1.0, show_default=True)
+@click.option("--seed", default=0, show_default=True)
+@click.pass_context
+def bc_init(ctx, env_id, out, gamma, log_std, seed):
+    """Stage 0 of the curriculum: clone the PD balance expert into the
+    policy MLP as a PPO warm start (see README's gamma note)."""
+    import jax
+    import balance_robot_tpu as brt
+    from .train import bc, checkpoint
+
+    env = brt.make(env_id)
+    cfg = bc.BCConfig(gamma=gamma, log_std=log_std)
+    params = bc.fit(env, cfg, jax.random.PRNGKey(seed), verbose=True)
+    out = out or f"models/bc_init_{env_id}.npz"
+    checkpoint.save(out, params)
+    click.echo(f"saved {out} — train with -m {out}")
 
 
 def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,

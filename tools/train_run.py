@@ -23,12 +23,13 @@ p.add_argument("--run-name", default=None)
 p.add_argument("--eval-freq", type=int, default=200_000)
 p.add_argument("--gamma", type=float, default=0.99)
 p.add_argument("--ent-coef", type=float, default=0.0)
+p.add_argument("--lr", type=float, default=3e-4)
 args = p.parse_args()
 
 env = brt.make(args.env_id)
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
-                gamma=args.gamma, ent_coef=args.ent_coef)
+                gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr)
 init = checkpoint.load(args.init) if args.init else None
 best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
