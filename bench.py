@@ -3,11 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: env-steps/s at 4096 envs on a single chip — each env step is a full
-reference-parity control step (250 implicitfast substeps + contacts + obs /
-reward / termination / auto-reset) plus the policy forward.  vs_baseline is
-the speedup over the reference's single-env CPU throughput measured on this
-host by tools/measure_reference.py (the reference publishes no numbers;
-BASELINE.md).
+reference-parity control step (250 implicitfast substeps + contacts + Newton
+solve + obs / reward / termination / auto-reset) plus the policy forward,
+with the training-grade solver (newton 4 / ls 6: 1.5e-8 qpos agreement with
+real MuJoCo over 10k substeps — the grade the trainer actually runs).
+vs_baseline is the speedup over the reference's single-env CPU throughput
+measured on this host by tools/measure_reference.py (the reference publishes
+no numbers; BASELINE.md).
+
+Timing note: under the axon tunnel `block_until_ready` does NOT synchronize;
+every timed repetition ends with a scalar value readback (`float(...)`),
+which does. The ~36 ms tunnel round-trip is amortized over seconds-long
+repetitions.
 """
 
 import json
@@ -27,7 +34,7 @@ REPEATS = 4
 
 
 def main():
-    env = Env01V2()
+    env = Env01V2().use_fast_solver()
     vec = VecEnv(env, N_ENVS)
     key = jax.random.PRNGKey(0)
     params = mlp.init_params(jax.random.PRNGKey(1))
@@ -46,17 +53,17 @@ def main():
             body, (states, obs, key), None, length=N_STEPS)
         return states, obs, key, rews.mean()
 
-    # compile + warmup
+    # compile + warmup (value readback = real synchronization)
     t0 = time.perf_counter()
     states, obs, key, r = run(states, obs, key)
-    jax.block_until_ready(r)
+    float(r)
     compile_s = time.perf_counter() - t0
 
     best = 0.0
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         states, obs, key, r = run(states, obs, key)
-        jax.block_until_ready(r)
+        float(r)
         dt = time.perf_counter() - t0
         best = max(best, N_ENVS * N_STEPS / dt)
 

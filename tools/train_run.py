@@ -24,9 +24,14 @@ p.add_argument("--eval-freq", type=int, default=200_000)
 p.add_argument("--gamma", type=float, default=0.99)
 p.add_argument("--ent-coef", type=float, default=0.0)
 p.add_argument("--lr", type=float, default=3e-4)
+p.add_argument("--solver", choices=("fast", "exact"), default="fast",
+               help="constraint-solver grade: fast = training (2x speed, "
+                    "1.5e-8 parity), exact = machine-exact")
 args = p.parse_args()
 
 env = brt.make(args.env_id)
+if args.solver == "fast":
+    env.use_fast_solver()
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
                 gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr)
