@@ -44,6 +44,22 @@ class Env01V1:
         self.params = fast_solver(self.params)
         return self
 
+    def use_pallas_physics(self, interpret=False):
+        """Route the 250-substep control step through the fused pallas TPU
+        kernel when this env runs under vmap (VecEnv / PPO); single-env
+        calls keep the XLA path (physics/pallas_step.py). 8-dof scenes
+        only — Env03's 14-dof step raises."""
+        from ..physics import pallas_step
+        self._pallas_cs = pallas_step.make_vmappable_control_step(
+            self.params, interpret=interpret)
+        return self
+
+    def _control_step(self, phys, ctrl, friction):
+        cs = getattr(self, "_pallas_cs", None)
+        if cs is not None:
+            return cs(phys, ctrl, friction)
+        return control_step(phys, ctrl, self.params, friction=friction)
+
     # ---- noise hooks (overridden by v2/v3)
     def _pitch(self, state, qpos, key):
         return pitch_of(qpos)
@@ -112,8 +128,8 @@ class Env01V1:
         ctrl = (qvel[6] + action[0] * WHEEL_SPEED_DELTA_MAX,
                 qvel[7] + action[1] * WHEEL_SPEED_DELTA_MAX)
         # 3) 250 implicitfast substeps (mj_step nstep=250)
-        phys = control_step(state.phys, ctrl, self.params,
-                            friction=state.aux.get("friction"))
+        phys = self._control_step(state.phys, ctrl,
+                                  state.aux.get("friction"))
         state = state._replace(phys=phys, t=state.t + 1)
         state = self._events(state)
         # 4) terminate |pitch|>50deg on a (possibly noisy) pitch sample

@@ -91,14 +91,18 @@ def plane_box(center, R, half, margin, body):
         p = vadd(center, mvmul(R, local))
         pts.append(p)
         dists.append(p[2] - FLOOR_Z)
-    dist_arr = jnp.stack(dists)
-    order = jnp.argsort(dist_arr)
-    deepest4 = (order[0], order[1], order[2], order[3])
     out = []
     for i, (p, dist) in enumerate(zip(pts, dists)):
-        in_top4 = ((i == deepest4[0]) | (i == deepest4[1])
-                   | (i == deepest4[2]) | (i == deepest4[3]))
-        inc = (dist < margin) & in_top4
+        # rank by pairwise comparison (earlier index wins ties) — equivalent
+        # to argsort-top-4 but expressible as pure elementwise ops, so this
+        # code also traces inside pallas kernels
+        rank = 0
+        for j, dj in enumerate(dists):
+            if j == i:
+                continue
+            less = (dj < dist) | ((dj == dist) & (j < i))
+            rank = rank + jnp.where(less, 1, 0)
+        inc = (dist < margin) & (rank < 4)
         pos = (p[0], p[1], p[2] - dist * 0.5)
         out.append(Contact(pos=pos, point=p, dist=dist, include=inc, body=body))
     return out

@@ -67,7 +67,7 @@ def cost(a, a_smooth, M, rows, nv):
     c = 0.0
     for r in range(nv):
         c = c + 0.5 * da[r] * sum(M[r][j] * da[j] for j in range(nv))
-    return c + 0.5 * jnp.sum(rows.D * act * jar * jar)
+    return c + 0.5 * jnp.sum(rows.D * act * jar * jar, axis=0)
 
 
 def solve_newton(a_init, a_smooth, M, rows, nv, iters=8, ls_iters=8):
@@ -82,11 +82,12 @@ def solve_newton(a_init, a_smooth, M, rows, nv, iters=8, ls_iters=8):
         wj = w * jar
         for r in range(nv):
             g.append(sum(M[r][j] * da[j] for j in range(nv))
-                     + jnp.sum(wj * rows.Jc[r]))
+                     + jnp.sum(wj * rows.Jc[r], axis=0))
         H = [[None] * nv for _ in range(nv)]
         for r in range(nv):
             for c2 in range(r + 1):
-                H[r][c2] = M[r][c2] + jnp.sum(w * rows.Jc[r] * rows.Jc[c2])
+                H[r][c2] = M[r][c2] + jnp.sum(w * rows.Jc[r] * rows.Jc[c2],
+                                              axis=0)
                 H[c2][r] = H[r][c2]
         L = chol_factor(tuple(tuple(rr) for rr in H), nv)
         step = chol_solve(L, tuple(-x for x in g), nv)
@@ -102,8 +103,8 @@ def solve_newton(a_init, a_smooth, M, rows, nv, iters=8, ls_iters=8):
         def ls_body(_, t):
             jt = jar + t * Jd
             actt = rows.mask * jnp.where(jt < 0, 1.0, 0.0)
-            phi1 = dMda + t * dMd + jnp.sum(actt * DJd * jt)
-            phi2 = dMd + jnp.sum(actt * DJd * Jd)
+            phi1 = dMda + t * dMd + jnp.sum(actt * DJd * jt, axis=0)
+            phi2 = dMd + jnp.sum(actt * DJd * Jd, axis=0)
             return t - phi1 / jnp.maximum(phi2, MJ_MINVAL)
 
         t = lax.fori_loop(0, ls_iters, ls_body, jnp.zeros_like(dMd) + 1.0)
@@ -117,5 +118,5 @@ def constraint_forces(a, rows, nv):
     """Per-row pyramid forces and qfrc_constraint for the converged qacc."""
     jar = _jar(a, rows, nv)
     f = rows.mask * rows.D * jnp.maximum(-jar, 0.0)
-    qfrc = tuple(jnp.sum(f * rows.Jc[j]) for j in range(nv))
+    qfrc = tuple(jnp.sum(f * rows.Jc[j], axis=0) for j in range(nv))
     return f, qfrc

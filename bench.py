@@ -6,7 +6,9 @@ Metric: env-steps/s at 4096 envs on a single chip — each env step is a full
 reference-parity control step (250 implicitfast substeps + contacts + Newton
 solve + obs / reward / termination / auto-reset) plus the policy forward,
 with the training-grade solver (newton 4 / ls 6: 1.5e-8 qpos agreement with
-real MuJoCo over 10k substeps — the grade the trainer actually runs).
+real MuJoCo over 10k substeps — the grade the trainer actually runs) and the
+fused pallas control-step kernel (250 substeps per kernel, bit-identical to
+the XLA path; physics/pallas_step.py).
 vs_baseline is the speedup over the reference's single-env CPU throughput
 measured on this host by tools/measure_reference.py (the reference publishes
 no numbers; BASELINE.md).
@@ -34,7 +36,7 @@ REPEATS = 4
 
 
 def main():
-    env = Env01V2().use_fast_solver()
+    env = Env01V2().use_fast_solver().use_pallas_physics()
     vec = VecEnv(env, N_ENVS)
     key = jax.random.PRNGKey(0)
     params = mlp.init_params(jax.random.PRNGKey(1))

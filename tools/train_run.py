@@ -27,11 +27,16 @@ p.add_argument("--lr", type=float, default=3e-4)
 p.add_argument("--solver", choices=("fast", "exact"), default="fast",
                help="constraint-solver grade: fast = training (2x speed, "
                     "1.5e-8 parity), exact = machine-exact")
+p.add_argument("--physics", choices=("pallas", "xla"), default="pallas",
+               help="pallas = fused 250-substep TPU kernel (8-dof scenes; "
+                    "~5x rollout speed); xla = reference path")
 args = p.parse_args()
 
 env = brt.make(args.env_id)
 if args.solver == "fast":
     env.use_fast_solver()
+if args.physics == "pallas" and not args.env_id.startswith(("Env03",)):
+    env.use_pallas_physics()
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
                 gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr)
