@@ -21,7 +21,7 @@ import sys
 import click
 import numpy as np
 
-ALGORITHMS = ("PPO",)   # natively implemented; reference recommends PPO
+from .train.factory import IMPLEMENTED as ALGORITHMS, KNOWN  # noqa: E402
                         # (README notes SAC quantizes badly, A2C/TD3 poor)
 MODEL_DIR = "models"
 LOG_DIR = "logs"
@@ -46,8 +46,10 @@ def _default_model(env, algo):
 def cli(ctx, algorithm, model):
     algo = algorithm.upper()
     if algo not in ALGORITHMS:
+        hint = (" (known SB3 name, not yet implemented on-device)"
+                if algo in KNOWN else "")
         raise click.ClickException(
-            f"algorithm {algorithm!r} not available natively; "
+            f"algorithm {algorithm!r} not available natively{hint}; "
             f"choose from {ALGORITHMS}")
     ctx.ensure_object(dict)
     ctx.obj["ALGORITHM_NAME"] = algo
@@ -98,9 +100,13 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
     if ctx.obj["MODEL_PATH"]:
         init = checkpoint.load(ctx.obj["MODEL_PATH"])
         click.echo(f"warm start from {ctx.obj['MODEL_PATH']}")
-    cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
-                    minibatch_size=minibatch, gamma=gamma, lr=lr,
-                    n_epochs=epochs)
+    if algo == "A2C":
+        from .train.factory import algorithm_factory
+        _, cfg = algorithm_factory("A2C", env, n_envs=num_envs, gamma=gamma)
+    else:
+        cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
+                        minibatch_size=minibatch, gamma=gamma, lr=lr,
+                        n_epochs=epochs)
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
                  init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
                  run_name=f"{env_id}_{algo}", resume=resume)

@@ -47,8 +47,13 @@ class Env01V1:
     def use_pallas_physics(self, interpret=False):
         """Route the 250-substep control step through the fused pallas TPU
         kernel when this env runs under vmap (VecEnv / PPO); single-env
-        calls keep the XLA path (physics/pallas_step.py). 8-dof scenes
-        only — Env03's 14-dof step raises."""
+        calls keep the XLA path (physics/pallas_step.py). Flat-floor 8-dof
+        scenes only — wall scenes (EnvMove05) and Env03's 14-dof step keep
+        the XLA path."""
+        if getattr(self.params, "walls", None):
+            raise NotImplementedError(
+                "the fused pallas step covers floor contacts only; "
+                f"{self.id} has wall geoms - use the XLA path")
         from ..physics import pallas_step
         self._pallas_cs = pallas_step.make_vmappable_control_step(
             self.params, interpret=interpret)

@@ -37,11 +37,12 @@ class PPOConfig:
     adam_eps: float = 1e-5
     gamma: float = 0.99
     gae_lambda: float = 0.95
-    clip_range: float = 0.2
+    clip_range: Optional[float] = 0.2   # None -> plain PG (A2C)
     ent_coef: float = 0.0
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
+    optimizer: str = "adam"             # "adam" | "rmsprop" (A2C)
 
 
 class TrainState(NamedTuple):
@@ -63,10 +64,13 @@ class PPO:
         self.env = env
         self.cfg = config
         self.vec = VecEnv(env, config.n_envs)
+        if config.optimizer == "rmsprop":
+            # SB3 A2C default: RMSpropTFLike(alpha=0.99, eps=1e-5)
+            inner = optax.rmsprop(config.lr, decay=0.99, eps=1e-5)
+        else:
+            inner = optax.adam(config.lr, eps=config.adam_eps)
         self.optim = optax.chain(
-            optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr, eps=config.adam_eps),
-        )
+            optax.clip_by_global_norm(config.max_grad_norm), inner)
         self.shard_env = shard_env  # optional NamedSharding for (B, ...) axes
 
     # ------------------------------------------------------------- init
@@ -157,11 +161,16 @@ class PPO:
             a = mb["adv"]
             if cfg.normalize_advantage:
                 a = (a - a.mean()) / (a.std() + 1e-8)
-            ratio = jnp.exp(logp - mb["logp"])
-            pg = -jnp.minimum(
-                a * ratio,
-                a * jnp.clip(ratio, 1 - cfg.clip_range, 1 + cfg.clip_range),
-            ).mean()
+            if cfg.clip_range is None:
+                # A2C: plain policy gradient on fresh log-probs (SB3 a2c.py)
+                pg = -(a * logp).mean()
+            else:
+                ratio = jnp.exp(logp - mb["logp"])
+                pg = -jnp.minimum(
+                    a * ratio,
+                    a * jnp.clip(ratio, 1 - cfg.clip_range,
+                                 1 + cfg.clip_range),
+                ).mean()
             v_loss = jnp.mean((mb["ret"] - val) ** 2)
             ent = mlp.entropy(log_std)
             loss = pg + cfg.vf_coef * v_loss - cfg.ent_coef * ent

@@ -94,3 +94,18 @@ def test_evaluate_chunked():
                                max_steps=300)
     assert np.isfinite(float(ret))
     assert 1 <= float(length) <= 300
+
+
+def test_algorithm_factory():
+    from balance_robot_tpu.train.factory import algorithm_factory
+    env = _make_env01()
+    trainer, cfg = algorithm_factory("A2C", env, n_envs=4)
+    assert cfg.clip_range is None and cfg.n_epochs == 1
+    assert cfg.optimizer == "rmsprop" and cfg.gae_lambda == 1.0
+    ts = trainer.init(jax.random.PRNGKey(0))
+    ts, metrics = trainer.iteration(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        algorithm_factory("DQN", env)
+    with pytest.raises(NotImplementedError, match="off-policy"):
+        algorithm_factory("SAC", env)

@@ -24,9 +24,10 @@ p.add_argument("--eval-freq", type=int, default=200_000)
 p.add_argument("--gamma", type=float, default=0.99)
 p.add_argument("--ent-coef", type=float, default=0.0)
 p.add_argument("--lr", type=float, default=3e-4)
-p.add_argument("--solver", choices=("fast", "exact"), default="fast",
-               help="constraint-solver grade: fast = training (2x speed, "
-                    "1.5e-8 parity), exact = machine-exact")
+p.add_argument("--solver", choices=("fast", "turbo", "exact"), default="fast",
+               help="constraint-solver grade: exact = machine-exact; fast = "
+                    "training (2x speed, 1.5e-8 parity); turbo = newton 2/"
+                    "ls 4 (3.6x, ~5e-4 qpos drift over 40 control steps)")
 p.add_argument("--physics", choices=("pallas", "xla"), default="pallas",
                help="pallas = fused 250-substep TPU kernel (8-dof scenes; "
                     "~5x rollout speed); xla = reference path")
@@ -35,6 +36,9 @@ args = p.parse_args()
 env = brt.make(args.env_id)
 if args.solver == "fast":
     env.use_fast_solver()
+elif args.solver == "turbo":
+    from balance_robot_tpu.physics import fast_solver
+    env.params = fast_solver(env.params, newton_iters=2, ls_iters=4)
 if args.physics == "pallas" and not args.env_id.startswith(("Env03",)):
     env.use_pallas_physics()
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
