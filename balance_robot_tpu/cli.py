@@ -100,16 +100,22 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
     if ctx.obj["MODEL_PATH"]:
         init = checkpoint.load(ctx.obj["MODEL_PATH"])
         click.echo(f"warm start from {ctx.obj['MODEL_PATH']}")
+    trainer = None
     if algo == "A2C":
         from .train.factory import algorithm_factory
         _, cfg = algorithm_factory("A2C", env, n_envs=num_envs, gamma=gamma)
+    elif algo in ("SAC", "TD3", "DDPG"):
+        from .train.factory import algorithm_factory
+        trainer, cfg = algorithm_factory(algo, env, n_envs=num_envs,
+                                         gamma=gamma)
     else:
         cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
                         minibatch_size=minibatch, gamma=gamma, lr=lr,
                         n_epochs=epochs)
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
                  init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
-                 run_name=f"{env_id}_{algo}", resume=resume)
+                 run_name=f"{env_id}_{algo}", resume=resume,
+                 trainer=trainer)
 
 
 @cli.command("bc-init")

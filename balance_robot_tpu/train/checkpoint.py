@@ -17,19 +17,38 @@ import jax
 
 
 def save(path, params):
+    """Flat dicts of arrays save as-is; nested pytrees (off-policy params:
+    lists of layer dicts) flatten to path-joined keys ('actor/0/w')."""
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    flat = {k: np.asarray(v) for k, v in params.items()}
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in kp)
+        flat[name] = np.asarray(leaf)
     np.savez(str(path) + ".npz" if not str(path).endswith(".npz") else path,
              **flat)
 
 
 def load(path):
+    """Returns a dict of arrays. Nested saves come back with path-joined
+    keys; `load_into(tree_like, path)` restores full structure."""
     path = str(path)
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path) as f:
         return {k: f[k] for k in f.files}
+
+
+def load_into(path, tree_like):
+    """Restore a nested pytree saved by `save`, using `tree_like` (a pytree
+    of the same structure, e.g. freshly initialized params) for structure."""
+    flat = load(path)
+    leaves, treedef = jax.tree.flatten(tree_like)
+    keys = ["/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(tree_like)[0]]
+    return jax.tree.unflatten(treedef, [flat[k] for k in keys])
 
 
 def save_train_state(path, ts, steps=0):

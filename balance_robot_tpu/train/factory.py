@@ -11,10 +11,10 @@ MlpPolicy algorithm. Here:
     (no ratio clip), n_steps 5 (scaled by the env batch), a single epoch
     over the whole batch, gae_lambda 1.0, lr 7e-4 RMSprop(alpha .99,
     eps 1e-5), no advantage normalization.
-  * SAC / TD3 / DDPG — off-policy; not yet implemented on-device. The
-    factory raises with a clear message (the reference README itself ships
-    only PPO-trained artifacts and notes SAC's int8 export is broken,
-    README.md:168-195).
+  * SAC / TD3 / DDPG — on-device off-policy trainers (train/offpolicy.py)
+    with SB3 defaults; DDPG gets the reference factory's custom nets
+    (pi [300,200], qf [200,150]) and NormalActionNoise(0.1)
+    (sb_rl.py:45-61).
 
 Unknown names raise ValueError, mirroring the reference's getattr check
 (sb_rl.py:576-578).
@@ -23,7 +23,7 @@ Unknown names raise ValueError, mirroring the reference's getattr check
 from .ppo import PPO, PPOConfig
 
 KNOWN = ("PPO", "A2C", "SAC", "TD3", "DDPG")
-IMPLEMENTED = ("PPO", "A2C")
+IMPLEMENTED = ("PPO", "A2C", "SAC", "TD3", "DDPG")
 
 
 def algorithm_factory(name, env, n_envs=1024, n_steps=None,
@@ -38,16 +38,15 @@ def algorithm_factory(name, env, n_envs=1024, n_steps=None,
                         n_steps=n_steps or 64,
                         minibatch_size=minibatch_size or 4096,
                         **overrides)
-    elif name == "A2C":
+        return PPO(env, cfg), cfg
+    if name == "A2C":
         ns = n_steps or 5                      # SB3 A2C default n_steps=5
         cfg = PPOConfig(n_envs=n_envs, n_steps=ns,
                         minibatch_size=minibatch_size or n_envs * ns,
                         n_epochs=1, clip_range=None, gae_lambda=1.0,
                         lr=overrides.pop("lr", 7e-4), optimizer="rmsprop",
                         normalize_advantage=False, **overrides)
-    else:
-        raise NotImplementedError(
-            f"{name} is an off-policy SB3 algorithm; the on-device "
-            f"implementations currently cover {IMPLEMENTED} (the reference "
-            "recommends PPO and ships only PPO artifacts)")
-    return PPO(env, cfg), cfg
+        return PPO(env, cfg), cfg
+    from .offpolicy import OffPolicy, default_config
+    cfg = default_config(name, n_envs=min(n_envs, 256), **overrides)
+    return OffPolicy(env, cfg), cfg

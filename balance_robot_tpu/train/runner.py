@@ -30,16 +30,24 @@ def train(env, config: PPOConfig, seed=0,
           eval_freq=20_000, ckpt_freq=40_000, n_eval_episodes=5,
           reward_threshold=None, models_dir="models", logs_dir="logs",
           run_name=None, init_params=None, max_wall_s=None, verbose=True,
-          mesh=None, resume=False):
+          mesh=None, resume=False, trainer=None):
     """Returns (best_params, history). SB3-default semantics throughout.
 
     `resume=True` restores (params, opt_state, env_states, rng) and the
     global step counter from `<models_dir>/<run_name>/resume_state.npz` if
-    present — deterministic restart after preemption (SURVEY §5)."""
+    present — deterministic restart after preemption (SURVEY §5).
+    `trainer` overrides the default PPO trainer (e.g. an off-policy trainer
+    from train.factory — its config must carry n_envs and n_steps or
+    train_freq)."""
     cfg = config
-    ppo = PPO(env, cfg)
-    key = jax.random.PRNGKey(seed)
-    ts = ppo.init(key, params=init_params)
+    ppo = trainer if trainer is not None else PPO(env, cfg)
+    if trainer is None:
+        ts = ppo.init(jax.random.PRNGKey(seed), params=init_params)
+    else:
+        ts = ppo.init(jax.random.PRNGKey(seed))
+        if init_params is not None and verbose:
+            print("[runner] warm start is not supported for off-policy "
+                  "trainers; starting fresh", flush=True)
 
     run_name = run_name or f"{env.id}_PPO"
     mdir = pathlib.Path(models_dir) / run_name
@@ -71,7 +79,8 @@ def train(env, config: PPOConfig, seed=0,
 
     threshold = (reward_threshold if reward_threshold is not None
                  else getattr(env, "reward_threshold", None))
-    steps_per_iter = cfg.n_envs * cfg.n_steps
+    steps_per_iter = cfg.n_envs * getattr(cfg, "n_steps",
+                                          getattr(cfg, "train_freq", 1))
     steps = resumed_steps
     next_eval = steps + eval_freq
     next_ckpt = steps + ckpt_freq
@@ -105,6 +114,10 @@ def train(env, config: PPOConfig, seed=0,
             eval_ret, eval_len = ppo.evaluate(ts.params, n_eval_episodes, k)
             eval_ret = float(eval_ret)
             m = {k2: float(v) for k2, v in metrics.items()}
+            m.setdefault("mean_ep_return", float("nan"))
+            m.setdefault("loss", m.get("critic_loss", float("nan")))
+            m.setdefault("v_loss", m.get("critic_loss", float("nan")))
+            m.setdefault("entropy", float("nan"))
             wall = time.time() - t0
             row = dict(steps=steps, wall_s=round(wall, 1),
                        mean_ep_return=round(m["mean_ep_return"], 2),

@@ -21,6 +21,7 @@ p.add_argument("--max-steps", type=int, default=int(3e7))
 p.add_argument("--max-wall", type=float, default=None)
 p.add_argument("--run-name", default=None)
 p.add_argument("--eval-freq", type=int, default=200_000)
+p.add_argument("--eval-episodes", type=int, default=5)
 p.add_argument("--gamma", type=float, default=0.99)
 p.add_argument("--ent-coef", type=float, default=0.0)
 p.add_argument("--lr", type=float, default=3e-4)
@@ -48,6 +49,7 @@ init = checkpoint.load(args.init) if args.init else None
 best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
     eval_freq=args.eval_freq, ckpt_freq=2 * args.eval_freq,
+    n_eval_episodes=args.eval_episodes,
     init_params=init, max_wall_s=args.max_wall,
     run_name=args.run_name, models_dir="models", logs_dir="logs")
 print("done; best saved under models/")
