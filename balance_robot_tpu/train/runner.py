@@ -25,12 +25,46 @@ from .ppo import PPO, PPOConfig
 from . import checkpoint as ckpt
 
 
+def record_episode(env, params, key, max_steps=None, deterministic=True):
+    """One policy episode as a qpos trajectory (T, nq) for tools/replay.py —
+    the headless equivalent of the reference's RecordVideo wrapper
+    (sb_rl.py:502-507): render by replaying through real MuJoCo on a host
+    with GL."""
+    from ..models import mlp
+    import jax.numpy as jnp
+
+    max_steps = max_steps or env.max_episode_steps
+
+    @jax.jit
+    def rollout(key):
+        state, obs = env.reset(key)
+
+        def body(carry, _):
+            state, obs, done = carry
+            a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
+            state2, obs2, r, term, trunc = env.step(state, a)
+            keep = lambda A, B: jax.tree.map(
+                lambda x, y: jnp.where(done, x, y), A, B)
+            state = keep(state, state2)
+            obs = jnp.where(done, obs, obs2)
+            qpos = jnp.stack(state.phys.qpos)
+            return (state, obs, done | term | trunc), (qpos, done)
+
+        (_, _, _), (qpos, done) = jax.lax.scan(
+            body, (state, obs, jnp.asarray(False)), None, length=max_steps)
+        return qpos, (~done).sum()
+
+    qpos, length = rollout(key)
+    return np.asarray(qpos), int(length)
+
+
 def train(env, config: PPOConfig, seed=0,
           total_timesteps=int(1e10),
           eval_freq=20_000, ckpt_freq=40_000, n_eval_episodes=5,
           reward_threshold=None, models_dir="models", logs_dir="logs",
           run_name=None, init_params=None, max_wall_s=None, verbose=True,
-          mesh=None, resume=False, trainer=None):
+          mesh=None, resume=False, trainer=None, movies_dir="movies",
+          record_every=0):
     """Returns (best_params, history). SB3-default semantics throughout.
 
     `resume=True` restores (params, opt_state, env_states, rng) and the
@@ -150,6 +184,17 @@ def train(env, config: PPOConfig, seed=0,
                 best = eval_ret
                 best_params = jax.tree.map(np.asarray, ts.params)
                 ckpt.save(mdir / "best_model", best_params)
+            # trajectory capture every `record_every` evals -> movies/
+            # (the reference's RecordVideo-every-50-episodes analogue;
+            # render via tools/replay.py)
+            if record_every and len(history) % record_every == 0 \
+                    and trainer is None:
+                eval_key, kr = jax.random.split(eval_key)
+                qpos, ep_len = record_episode(env, ts.params, kr)
+                mv = pathlib.Path(movies_dir)
+                mv.mkdir(parents=True, exist_ok=True)
+                np.savez(mv / f"{run_name}_{steps}.npz",
+                         qpos=qpos[:max(ep_len, 1)])
             # survival-selected artifact (framework extra: the reference's
             # human gate is "balances consistently", i.e. episode length)
             if float(eval_len) > best_len:
