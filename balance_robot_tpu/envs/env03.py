@@ -43,6 +43,14 @@ class Env03V1(Env01V1):
         return {"delay_started": jnp.asarray(False),
                 "delay_t0": jnp.float32(0.0)}
 
+    def use_pallas_physics(self, interpret=False):
+        """Fused 14-dof pallas control step (robot+block) under vmap;
+        single-env calls keep the XLA path (physics/pallas_block.py)."""
+        from ..physics import pallas_block
+        self._pallas_cs14 = pallas_block.make_vmappable_control_step14(
+            self.params, interpret=interpret)
+        return self
+
     def reset(self, key):
         k1, k2, k3, k4, k5, k6, kstate = jax.random.split(key, 7)
         qpos = jnp.zeros(16).at[3].set(1.0).at[12].set(1.0)
@@ -137,8 +145,12 @@ class Env03V1(Env01V1):
         qvel = state.phys.qvel
         reward = self._reward(state, k_r)
         ctrl = self._ctrl(state, action)
-        phys = control_step14(state.phys, ctrl, self.params,
-                              friction=state.aux.get("friction"))
+        cs = getattr(self, "_pallas_cs14", None)
+        if cs is not None:
+            phys = cs(state.phys, ctrl)
+        else:
+            phys = control_step14(state.phys, ctrl, self.params,
+                                  friction=state.aux.get("friction"))
         state = state._replace(phys=phys, t=state.t + 1)
         state = self._events(state)
         pitch_term = self._pitch(state, jnp.stack(state.phys.qpos), k_t)

@@ -40,8 +40,12 @@ if args.solver == "fast":
 elif args.solver == "turbo":
     from balance_robot_tpu.physics import fast_solver
     env.params = fast_solver(env.params, newton_iters=2, ls_iters=4)
-if args.physics == "pallas" and not args.env_id.startswith(("Env03",)):
-    env.use_pallas_physics()
+if args.physics == "pallas" and hasattr(env, "use_pallas_physics"):
+    try:
+        env.use_pallas_physics()
+    except NotImplementedError as e:
+        print(f"pallas physics unavailable for {args.env_id}: {e}; "
+              "using the XLA path")
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
                 gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr)
