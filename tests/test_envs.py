@@ -131,3 +131,19 @@ def test_move_lidar_sees_wall():
     d = np.asarray(lidar_distances(qpos))
     # wall surface at x = 0.24 -> middle rays ~0.14
     assert d[3] < 0.2 and d[4] < 0.2
+
+
+def test_move_env_packaged_inner_policy():
+    """The packaged int8 inner-policy artifact (envs/assets/inner_policy
+    .brq.npz, generated by tools/make_inner_policy.py from the flagship
+    balance checkpoint) loads by default and balances the robot for 60
+    control steps (reference ships RobotMovePolicy.tflite the same way,
+    RobotMoveBaseEnv.py:81-97)."""
+    import balance_robot_tpu as brt
+    env = brt.make("EnvMove05-v1")      # default ctor -> packaged artifact
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    for _ in range(60):
+        state, obs, r, term, trunc = step(state, jnp.array([0.3, 0.0]))
+    assert bool(jnp.isfinite(obs).all())
+    assert not bool(term)               # inner policy keeps it upright
