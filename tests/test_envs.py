@@ -147,3 +147,46 @@ def test_move_env_packaged_inner_policy():
         state, obs, r, term, trunc = step(state, jnp.array([0.3, 0.0]))
     assert bool(jnp.isfinite(obs).all())
     assert not bool(term)               # inner policy keeps it upright
+
+
+def test_env01_v2_obs_pitch_noise_bounded():
+    """Env01-v2 adds U(-0.025, 0.025) rad noise inside get_pitch
+    (env01_v2.py:16-20); the obs pitch slot must differ from the true
+    kinematic pitch by at most 0.025 rad and must actually vary."""
+    from balance_robot_tpu.envs import base
+    env = brt.make("Env01-v2")
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    diffs = []
+    for _ in range(10):
+        state, obs, r, term, trunc = step(state, jnp.zeros(2))
+        true_pitch = float(base.pitch_of(jnp.stack(state.phys.qpos)))
+        diffs.append(float(obs[0]) * 0.25 - true_pitch)   # PITCH_MAX=0.25
+    diffs = np.array(diffs)
+    assert np.all(np.abs(diffs) <= 0.025 + 1e-6)
+    assert np.std(diffs) > 1e-4          # noise is actually drawn per step
+
+
+def test_env01_v3_schedule_and_sensor_bias():
+    """Env01-v3: per-episode delay_target_speed in +-(10,20) and pitch bias
+    +-2 deg (env01_v3.py:44-52); target speed follows the time schedule
+    1x / -1x / 2x / 3x checked on sim time (env01_v3.py:28-36)."""
+    from balance_robot_tpu.envs import base
+    env = brt.make("Env01-v3")
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(2))
+    dts = float(state.aux["delay_target_speed"])
+    off = float(state.aux["pitch_offset"])
+    assert 10.0 <= abs(dts) <= 20.0
+    assert abs(off) <= 0.0349066 + 1e-9
+    # sensor bias applied in _pitch
+    qpos = jnp.stack(state.phys.qpos)
+    biased = float(env._pitch(state, qpos, jax.random.PRNGKey(0)))
+    assert np.isclose(biased - float(base.pitch_of(qpos)), off, atol=1e-6)
+    # schedule: construct states at given sim times via the step counter
+    dt = 0.005                            # 250 substeps x 2e-5 s
+    for t_sim, expect in [(0.5, 0.0), (1.5, dts), (3.5, -dts),
+                          (5.0, 2 * dts), (6.0, 3 * dts)]:
+        st = state._replace(t=jnp.int32(round(t_sim / dt)))
+        st = env._update_targets(st)
+        assert np.isclose(float(st.target_wheel_speed), expect, atol=1e-5), \
+            (t_sim, expect, float(st.target_wheel_speed))
