@@ -47,9 +47,12 @@ FLOOR_Z = -0.02
 
 
 # Rz(a) @ (0,1,0) for each ray angle (reference precomputes these via
-# scipy rotvec, RobotMoveBaseEnv.py:71-79)
-RAY_DIRS_LOCAL = jnp.asarray([(-np.sin(a), np.cos(a), 0.0)
-                              for a in RAY_ANGLES])
+# scipy rotvec, RobotMoveBaseEnv.py:71-79).  Kept as a numpy constant:
+# creating a device array at import time would initialize the XLA backend
+# before jax.distributed.initialize on multi-host slices (see
+# parallel/distributed.py); jnp converts it on trace.
+RAY_DIRS_LOCAL = np.asarray([(-np.sin(a), np.cos(a), 0.0)
+                             for a in RAY_ANGLES])
 
 
 def raycast(origin, dirs):

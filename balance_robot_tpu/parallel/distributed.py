@@ -1,7 +1,7 @@
 """Multi-host initialization (SURVEY §2.2/§5: the reference has no
 distributed backend at all; this is the TPU-native replacement).
 
-One call per host process before any JAX computation:
+One call per host process BEFORE any other JAX API:
 
     from balance_robot_tpu.parallel import distributed
     distributed.initialize()          # no-op on a single host
@@ -10,12 +10,44 @@ One call per host process before any JAX computation:
 `jax.distributed.initialize()` wires the pod slice's hosts together (coord
 address/process id from the TPU environment); `jax.devices()` then returns
 the GLOBAL device list and the same 1-D 'env' mesh + NamedSharding code from
-parallel/mesh.py spans all chips. Gradient psums ride ICI within a slice.
+parallel/mesh.py spans all chips.  Gradient psums ride ICI within a slice.
+
+Ordering is load-bearing: `jax.distributed.initialize` must run before the
+first backend-touching JAX call (even `jax.process_count()` initializes the
+local backend, after which multi-host init is impossible).  This module
+therefore decides single- vs multi-host from the *environment only* — a
+module-level flag plus cluster env vars — and never queries a JAX runtime
+API before initializing.  Misuse (calling after the backend is already up on
+a multi-host slice) fails loudly inside jax.distributed.initialize rather
+than being swallowed into a silent 1-host fallback.
 """
+
+import os
 
 import jax
 
 from . import mesh as _mesh
+
+_initialized = False
+
+# Environment signals that this process is one host of a multi-host job.
+# TPU pod slices export the worker topology; explicit coordinator vars cover
+# manual / GPU-style launches.  BRT_MULTIHOST=1 forces the call (e.g. for
+# tests or nonstandard launchers).
+_MULTIHOST_VARS = (
+    "BRT_MULTIHOST",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _multihost_environment():
+    if any(os.environ.get(v) for v in _MULTIHOST_VARS):
+        return True
+    # TPU runtime: TPU_WORKER_HOSTNAMES lists every host of the slice.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
 
 
 def initialize(**kwargs):
@@ -24,14 +56,19 @@ def initialize(**kwargs):
     On TPU pods the coordinator address, process count, and process id are
     discovered from the runtime environment; kwargs pass through for manual
     setups (coordinator_address=..., num_processes=..., process_id=...).
+    Call this before any other JAX API.  On a multi-host environment a
+    failure here is a hard error — it is never downgraded to single-host.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
+    global _initialized
+    if _initialized:
+        return
+    if kwargs or _multihost_environment():
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process (no coordinator available) — the 1-host path
-        pass
+    _initialized = True
+
+
+def is_initialized():
+    return _initialized
 
 
 def global_env_mesh(axis="env"):

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import optax
 
 from ..envs.vector import VecEnv
+from . import evaluation
 
 LOG_STD_MIN, LOG_STD_MAX = -20.0, 2.0
 
@@ -70,7 +71,9 @@ class OffPolicyConfig:
     n_envs: int = 256
     buffer_size: int = 1_000_000
     batch_size: int = 256
-    learning_starts: int = 100        # env steps before updates (SB3 default)
+    learning_starts: int = 100        # TRANSITIONS (env steps summed over
+                                      # all envs) before updates, matching
+                                      # SB3's num_timesteps semantics
     train_freq: int = 1               # env steps per iteration
     gradient_steps: int = 1           # updates per env step
     lr: float = 3e-4                  # SAC; TD3/DDPG use 1e-3 (SB3)
@@ -142,6 +145,7 @@ class OffPolicy:
         self.opt_c = optax.adam(config.lr)
         self.opt_al = optax.adam(config.lr)
         self.target_entropy = -float(env.act_dim)
+        self._evaluator = None  # lazy ChunkedEvaluator (see evaluate)
 
     # ------------------------------------------------------------ params
     def _init_params(self, key):
@@ -222,11 +226,14 @@ class OffPolicy:
         def step_fn(carry, _):
             ts = carry
             key, k = jax.random.split(ts.key)
-            # uniform random actions before learning_starts (SB3 warmup)
+            # uniform random actions before learning_starts (SB3 warmup).
+            # SB3 compares num_timesteps = TRANSITIONS across all envs;
+            # ts.steps counts vectorized steps, so scale by n_envs.
             a_pol = self._act(ts.params, ts.last_obs, k)
             a_rand = jax.random.uniform(k, a_pol.shape, minval=-1.0,
                                         maxval=1.0)
-            a = jnp.where(ts.steps < cfg.learning_starts, a_rand, a_pol)
+            a = jnp.where(ts.steps * cfg.n_envs < cfg.learning_starts,
+                          a_rand, a_pol)
             env_states, out = self.vec.step(ts.env_states, a)
             # true next obs: pre-reset terminal obs when done
             nxt = jnp.where(out.done[:, None], out.terminal_obs, out.obs)
@@ -362,7 +369,8 @@ class OffPolicy:
         ts = ts._replace(key=key)
         n_upd = cfg.train_freq * cfg.gradient_steps
         keys = jax.random.split(k, n_upd)
-        do = ts.steps >= cfg.learning_starts
+        # SB3 gates updates on num_timesteps (transitions), not vec steps
+        do = ts.steps * cfg.n_envs >= cfg.learning_starts
 
         def maybe_upd(carry, kk):
             ts = carry
@@ -377,39 +385,10 @@ class OffPolicy:
 
     # -------------------------------------------------------------- eval
     def evaluate(self, params, n_episodes, key, max_steps=None):
-        max_steps = max_steps or self.env.max_episode_steps
-        keys = jax.random.split(key, n_episodes)
-        states, obs = jax.vmap(self.env.reset)(keys)
-        carry = (states, obs, jnp.zeros(n_episodes),
-                 jnp.zeros(n_episodes, bool), jnp.zeros(n_episodes,
-                                                        jnp.int32))
-
-        @jax.jit
-        def chunk(carry):
-            def body(carry, _):
-                states, obs, ret, done, t = carry
-                a = self._act(params, obs, None, deterministic=True)
-                states2, obs2, r, term, trunc = jax.vmap(self.env.step)(
-                    states, a)
-                keep = lambda A, B: jax.tree.map(
-                    lambda x, y: jnp.where(
-                        done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y),
-                    A, B)
-                states = keep(states, states2)
-                obs = keep(obs, obs2)
-                ret = ret + jnp.where(done, 0.0, r)
-                t = t + (~done).astype(jnp.int32)
-                done = done | term | trunc
-                return (states, obs, ret, done, t), None
-
-            carry, _ = jax.lax.scan(body, carry, None, length=250)
-            return carry
-
-        steps = 0
-        while steps < max_steps:
-            carry = chunk(carry)
-            steps += 250
-            if bool(carry[3].all()):
-                break
-        _, _, rets, _, lens = carry
-        return rets.mean(), lens.astype(jnp.float32).mean()
+        """Deterministic-policy eval via the shared chunked rollout
+        (train/evaluation.py owns the TPU-watchdog chunking invariant)."""
+        if self._evaluator is None:
+            self._evaluator = evaluation.ChunkedEvaluator(
+                self.env,
+                lambda p, o: self._act(p, o, None, deterministic=True))
+        return self._evaluator.evaluate(params, n_episodes, key, max_steps)

@@ -24,6 +24,7 @@ import optax
 
 from ..models import mlp
 from ..envs.vector import VecEnv
+from . import evaluation
 
 
 @dataclass(frozen=True)
@@ -72,6 +73,7 @@ class PPO:
         self.optim = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm), inner)
         self.shard_env = shard_env  # optional NamedSharding for (B, ...) axes
+        self._evaluator = None      # lazy ChunkedEvaluator (see `evaluator`)
 
     # ------------------------------------------------------------- init
     def init(self, key, params=None):
@@ -216,50 +218,19 @@ class PPO:
                         mean_ep_return=mean_ep_ret, n_episodes=ts.stat_n_eps)
 
     # -------------------------------------------------------------- eval
-    # One device kernel per CHUNK of control steps, host loop across chunks:
-    # a full 6000-step episode is 1.5M sequential physics substeps, and a
-    # single XLA program that long trips the TPU runtime watchdog (observed:
-    # worker crash at the first eval where the policy actually balances).
-    EVAL_CHUNK = 250
+    # Delegated to the shared ChunkedEvaluator (train/evaluation.py), the
+    # single owner of the watchdog-critical chunked rollout.
+    EVAL_CHUNK = evaluation.ChunkedEvaluator.CHUNK
 
-    @partial(jax.jit, static_argnums=0)
-    def _eval_reset(self, keys):
-        states, obs = jax.vmap(self.env.reset)(keys)
-        n = keys.shape[0]
-        return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
-                jnp.zeros(n, jnp.int32))
-
-    @partial(jax.jit, static_argnums=0)
-    def _eval_chunk(self, params, carry):
-        def body(carry, _):
-            states, obs, ret, done, t = carry
-            action = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-            states2, obs2, r, term, trunc = jax.vmap(self.env.step)(states,
-                                                                    action)
-            keep = lambda a, b: jax.tree.map(
-                lambda x, y: jnp.where(
-                    done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), a, b)
-            states = keep(states, states2)
-            obs = keep(obs, obs2)
-            ret = ret + jnp.where(done, 0.0, r)
-            t = t + (~done).astype(jnp.int32)
-            done = done | term | trunc
-            return (states, obs, ret, done, t), None
-
-        carry, _ = jax.lax.scan(body, carry, None, length=self.EVAL_CHUNK)
-        return carry
+    @property
+    def evaluator(self):
+        if self._evaluator is None:
+            self._evaluator = evaluation.ChunkedEvaluator(
+                self.env,
+                lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
+        return self._evaluator
 
     def evaluate(self, params, n_episodes: int, key, max_steps=None):
         """Deterministic-policy episode returns (EvalCallback semantics:
         mean reward over n episodes with deterministic actions)."""
-        max_steps = max_steps or self.env.max_episode_steps
-        keys = jax.random.split(key, n_episodes)
-        carry = self._eval_reset(keys)
-        steps = 0
-        while steps < max_steps:
-            carry = self._eval_chunk(params, carry)
-            steps += self.EVAL_CHUNK
-            if bool(carry[3].all()):
-                break
-        _, _, rets, _, lens = carry
-        return rets.mean(), lens.astype(jnp.float32).mean()
+        return self.evaluator.evaluate(params, n_episodes, key, max_steps)

@@ -25,37 +25,26 @@ from .ppo import PPO, PPOConfig
 from . import checkpoint as ckpt
 
 
-def record_episode(env, params, key, max_steps=None, deterministic=True):
-    """One policy episode as a qpos trajectory (T, nq) for tools/replay.py —
-    the headless equivalent of the reference's RecordVideo wrapper
-    (sb_rl.py:502-507): render by replaying through real MuJoCo on a host
-    with GL."""
+def record_episode(env, params, key, max_steps=None):
+    """One deterministic policy episode as a qpos trajectory (T, nq) for
+    tools/replay.py — the headless equivalent of the reference's RecordVideo
+    wrapper (sb_rl.py:502-507): render by replaying through real MuJoCo on a
+    host with GL.
+
+    Runs through the shared ChunkedEvaluator (train/evaluation.py): a full
+    6000-step episode in one scan is 1.5M sequential substeps, which trips
+    the TPU watchdog and crashes the worker.  The evaluator is memoized on
+    the env so repeated recordings during one training run don't recompile."""
     from ..models import mlp
+    from . import evaluation
     import jax.numpy as jnp
 
-    max_steps = max_steps or env.max_episode_steps
-
-    @jax.jit
-    def rollout(key):
-        state, obs = env.reset(key)
-
-        def body(carry, _):
-            state, obs, done = carry
-            a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-            state2, obs2, r, term, trunc = env.step(state, a)
-            keep = lambda A, B: jax.tree.map(
-                lambda x, y: jnp.where(done, x, y), A, B)
-            state = keep(state, state2)
-            obs = jnp.where(done, obs, obs2)
-            qpos = jnp.stack(state.phys.qpos)
-            return (state, obs, done | term | trunc), (qpos, done)
-
-        (_, _, _), (qpos, done) = jax.lax.scan(
-            body, (state, obs, jnp.asarray(False)), None, length=max_steps)
-        return qpos, (~done).sum()
-
-    qpos, length = rollout(key)
-    return np.asarray(qpos), int(length)
+    ev = getattr(env, "_brt_record_evaluator", None)
+    if ev is None:
+        ev = evaluation.ChunkedEvaluator(
+            env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
+        env._brt_record_evaluator = ev
+    return ev.record(params, key, max_steps)
 
 
 def train(env, config: PPOConfig, seed=0,

@@ -80,3 +80,72 @@ def test_profiling_counters():
     tp = Throughput()
     tp.add(100)
     assert tp.rate() > 0
+
+
+def test_distributed_init_order():
+    """parallel.distributed.initialize must call jax.distributed.initialize
+    BEFORE any backend-touching JAX API (jax.process_count() and friends
+    initialize the local backend, after which multi-host init silently
+    degrades to per-host single-process runs — the round-1 bug)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["BRT_MULTIHOST"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+state = {}
+
+def probe(**kwargs):
+    # Record whether any XLA backend exists at the moment of the call.
+    from jax._src import xla_bridge as xb
+    state["called"] = True
+    state["backends"] = dict(getattr(xb, "_backends", {}))
+
+jax.distributed.initialize = probe
+from balance_robot_tpu.parallel import distributed
+distributed.initialize()
+assert state.get("called"), "jax.distributed.initialize was never called"
+assert not state["backends"], (
+    "XLA backend was initialized before jax.distributed.initialize: "
+    f"{list(state['backends'])}")
+assert distributed.is_initialized()
+# idempotent: a second call must not re-invoke
+state["called"] = False
+distributed.initialize()
+assert not state["called"]
+print("INIT_ORDER_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True,
+                         env={**__import__("os").environ,
+                              "JAX_PLATFORMS": "cpu"})
+    assert "INIT_ORDER_OK" in out.stdout, out.stderr
+
+
+def test_distributed_single_host_noop():
+    """Without multi-host env signals, initialize() must not attempt a
+    coordinator handshake (single-host no-op)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+for v in ("BRT_MULTIHOST", "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+          "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+    os.environ.pop(v, None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+called = []
+jax.distributed.initialize = lambda **kw: called.append(kw)
+from balance_robot_tpu.parallel import distributed
+distributed.initialize()
+assert not called, "initialize() attempted a coordinator handshake"
+assert distributed.is_initialized()
+print("SINGLE_HOST_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True)
+    assert "SINGLE_HOST_OK" in out.stdout, out.stderr
