@@ -25,43 +25,19 @@ import numpy as np
 
 
 def export_onnx(params, path):
-    """torch-based ONNX export of the policy (reference `convert` parity)."""
-    import torch
+    """ONNX export of the policy (reference `convert` parity: opset 11,
+    input 'input', first output 'output' = actions — sb_rl.py:126-133).
 
-    class Policy(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.p1 = torch.nn.Linear(6, 64)
-            self.p2 = torch.nn.Linear(64, 64)
-            self.pa = torch.nn.Linear(64, 2)
-            self.v1 = torch.nn.Linear(6, 64)
-            self.v2 = torch.nn.Linear(64, 64)
-            self.vo = torch.nn.Linear(64, 1)
-            self.log_std = torch.nn.Parameter(torch.zeros(2))
+    Serialized natively (export/onnx_writer.py): the reference's
+    torch.onnx.export path hard-requires the `onnx` pip package, which is
+    unavailable here; the graph is six Gemm/Tanh nodes, written directly as
+    ModelProto protobuf and validated by onnx_runtime.check_model.  Output
+    order matches the reference's export of the SB3 policy module — actions
+    FIRST, so the output named 'output' is what the test-onnx episode loop
+    acts on (sb_rl.py:214-220)."""
+    from .onnx_writer import build_policy_onnx
 
-        def forward(self, x):
-            a = torch.tanh(self.p1(x))
-            a = torch.tanh(self.p2(a))
-            actions = self.pa(a)
-            v = torch.tanh(self.v1(x))
-            v = torch.tanh(self.v2(v))
-            value = self.vo(v)
-            return value, actions, self.log_std.expand(x.shape[0], 2)
-
-    m = Policy()
-    with torch.no_grad():
-        for dst, src in [(m.p1, ("pi_w1", "pi_b1")), (m.p2, ("pi_w2", "pi_b2")),
-                         (m.pa, ("pi_wout", "pi_bout")),
-                         (m.v1, ("vf_w1", "vf_b1")), (m.v2, ("vf_w2", "vf_b2")),
-                         (m.vo, ("vf_wout", "vf_bout"))]:
-            dst.weight.copy_(torch.tensor(np.asarray(params[src[0]]).T))
-            dst.bias.copy_(torch.tensor(np.asarray(params[src[1]])))
-        m.log_std.copy_(torch.tensor(np.asarray(params["log_std"])))
-    m.eval()
-    dummy = torch.zeros(1, 6)
-    torch.onnx.export(m, dummy, str(path), opset_version=11,
-                      input_names=["input"], output_names=["output"],
-                      dynamo=False)
+    pathlib.Path(path).write_bytes(build_policy_onnx(params))
     return path
 
 

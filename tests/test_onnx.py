@@ -1,0 +1,99 @@
+"""ONNX export + native runtime leg (reference sb_rl.py:86-133, :185-230).
+
+Covers the round trip the reference validates manually: params ->
+torch.onnx.export (opset 11) -> check_model -> numpy-executor inference ->
+float parity with the JAX policy; plus checker rejection of broken graphs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from balance_robot_tpu.models import mlp
+from balance_robot_tpu.export import onnx_runtime
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    from balance_robot_tpu.export import pipeline
+    params = mlp.init_params(jax.random.PRNGKey(3))
+    path = tmp_path_factory.mktemp("onnx") / "best_model.onnx"
+    pipeline.export_onnx(params, path)
+    return params, path
+
+
+def test_export_and_check(exported):
+    _, path = exported
+    model = onnx_runtime.load_model(path)
+    assert model["opsets"].get("", model["opsets"].get("ai.onnx")) == 11
+    onnx_runtime.check_model(model)   # raises on structural problems
+    sess = onnx_runtime.NumpySession(path)
+    assert sess.get_inputs()[0].name == "input"
+    # reference convert names the FIRST output 'output' (sb_rl.py:131);
+    # it must be the actions tensor (SB3 policy.forward order)
+    assert sess.get_outputs()[0].name == "output"
+
+
+def test_numpy_executor_matches_jax_policy(exported):
+    """The full export->parse->execute chain reproduces policy_mean and
+    value to float tolerance (the reference checks this only by eyeballing
+    robot behavior across runtimes, README.md:83-116)."""
+    params, path = exported
+    sess = onnx_runtime.NumpySession(path)
+    outs = [o.name for o in sess.get_outputs()]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        obs = rng.uniform(-3, 3, size=(1, 6)).astype(np.float32)
+        actions, value, log_std = sess.run(outs, {"input": obs})
+        np.testing.assert_allclose(
+            actions[0], np.asarray(mlp.policy_mean(params, obs[0])),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            value[0, 0], float(mlp.value(params, obs[0])), atol=1e-6)
+        np.testing.assert_allclose(
+            log_std[0], np.asarray(params["log_std"]), atol=1e-6)
+        assert actions.shape == (1, 2) and value.shape == (1, 1)
+
+
+def test_checker_rejects_corrupt_graph(exported):
+    _, path = exported
+    model = onnx_runtime.load_model(path)
+    # dangling node input
+    bad = {**model, "graph": {**model["graph"]}}
+    bad["graph"]["nodes"] = [dict(model["graph"]["nodes"][0])] \
+        + model["graph"]["nodes"][1:]
+    bad["graph"]["nodes"][0] = {**bad["graph"]["nodes"][0],
+                                "input": ["does_not_exist"]}
+    with pytest.raises(onnx_runtime.OnnxValidationError, match="not produced"):
+        onnx_runtime.check_model(bad)
+    # unsupported op
+    bad2 = {**model, "graph": {**model["graph"]}}
+    bad2["graph"]["nodes"] = [{**model["graph"]["nodes"][0],
+                               "op_type": "LSTM"}] \
+        + model["graph"]["nodes"][1:]
+    with pytest.raises(onnx_runtime.OnnxValidationError, match="unsupported"):
+        onnx_runtime.check_model(bad2)
+    # truncated file is caught at parse time
+    with pytest.raises(Exception):
+        onnx_runtime.load_model(path.read_bytes()[: len(path.read_bytes())
+                                                  // 2])
+
+
+def test_session_episode_loop(exported):
+    """The test-onnx leg end-to-end: session drives a short env rollout
+    (the reference's episode loop, sb_rl.py:214-230)."""
+    import balance_robot_tpu as brt
+    import jax.numpy as jnp
+
+    params, path = exported
+    env = brt.make("Env01-v1")
+    sess = onnx_runtime.session(path)
+    inp = sess.get_inputs()[0].name
+    out = sess.get_outputs()[0].name
+    step = jax.jit(env.step)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    for _ in range(5):
+        a = sess.run([out], {inp: np.asarray(obs, np.float32)[None, :]})[0][0]
+        state, obs, r, term, trunc = step(state, jnp.asarray(a))
+        assert np.isfinite(float(r))
