@@ -21,8 +21,10 @@ import sys
 import click
 import numpy as np
 
-from .train.factory import IMPLEMENTED as ALGORITHMS, KNOWN  # noqa: E402
-                        # (README notes SAC quantizes badly, A2C/TD3 poor)
+# Literal so `--help` etc. never import jax/optax (train.factory pulls in
+# the trainers); must match train.factory.IMPLEMENTED — asserted by
+# tests/test_envs.py.  (README notes SAC quantizes badly, A2C/TD3 poor.)
+ALGORITHMS = ("PPO", "A2C", "SAC", "TD3", "DDPG")
 MODEL_DIR = "models"
 LOG_DIR = "logs"
 MOVIE_DIR = "movies"
@@ -46,10 +48,8 @@ def _default_model(env, algo):
 def cli(ctx, algorithm, model):
     algo = algorithm.upper()
     if algo not in ALGORITHMS:
-        hint = (" (known SB3 name, not yet implemented on-device)"
-                if algo in KNOWN else "")
         raise click.ClickException(
-            f"algorithm {algorithm!r} not available natively{hint}; "
+            f"algorithm {algorithm!r} not available natively; "
             f"choose from {ALGORITHMS}")
     ctx.ensure_object(dict)
     ctx.obj["ALGORITHM_NAME"] = algo
@@ -88,10 +88,15 @@ def cli(ctx, algorithm, model):
               help="pallas = fused 250-substep TPU control-step kernel "
                    "(5.7x on 8-dof scenes, 8.2x on the Env03 block scenes); "
                    "xla = reference path (required on CPU)")
+@click.option("--record-every", default=10, show_default=True,
+              help="capture a deterministic eval trajectory to movies/ "
+                   "every N evals (0 = off) — the RecordVideo analogue "
+                   "(reference records every 50 episodes, sb_rl.py:502-507);"
+                   " render with tools/replay.py")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
           total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs,
-          solver, physics):
+          solver, physics, record_every):
     """Train (warm start with -m = the curriculum mechanism)."""
     import balance_robot_tpu as brt
     from .train.ppo import PPOConfig
@@ -126,7 +131,7 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
                  init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
                  run_name=f"{env_id}_{algo}", resume=resume,
-                 trainer=trainer)
+                 trainer=trainer, record_every=record_every)
 
 
 @cli.command("bc-init")
@@ -152,32 +157,53 @@ def bc_init(ctx, env_id, out, gamma, log_std, seed):
     click.echo(f"saved {out} — train with -m {out}")
 
 
+GRACE_STEPS = 200   # post-termination viewer steps before auto-reset
+                    # (reference sb_rl.py:175-180)
+
+
 def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,
                   record=None):
-    """Shared inference loop for the test-* commands: deterministic episodes,
-    prints returns, optionally records the qpos trajectory for replay."""
+    """Shared inference loop for the test-* commands (reference
+    sb_rl.py:163-182): deterministic episodes with returns printed at
+    termination, then GRACE_STEPS further physics steps (the reference
+    keeps the viewer stepping so a fall plays out) before auto-resetting
+    into the next episode.  show_io logs every 30th step like the
+    reference (sb_rl.py:168-171).  Optionally records the qpos trajectory
+    for tools/replay.py.  Envs exposing `telemetry(state)` (Cal01) get
+    their `time, vel_l, vel_r` CSV rows printed every step — the
+    reference's stdout-as-telemetry calibration workflow (cal01.py:31)."""
     import jax
     import jax.numpy as jnp
 
     step = jax.jit(env.step)
+    reset = jax.jit(env.reset)
     key = jax.random.PRNGKey(0)
     traj = []
+    telemetry = getattr(env, "telemetry", None)
     for ep in range(episodes):
         key, k = jax.random.split(key)
-        state, obs = jax.jit(env.reset)(k)
-        ret, t = 0.0, 0
-        while t < max_steps:
+        state, obs = reset(k)
+        ret, t, done_at = 0.0, 0, None
+        while t < max_steps + GRACE_STEPS + 1:
             action = act_fn(np.asarray(obs))
-            if show_io:
+            if show_io and t % 30 == 0:
                 click.echo(f"obs={np.asarray(obs)} action={action}")
             state, obs, r, term, trunc = step(state, jnp.asarray(action))
             if record is not None:
                 traj.append(np.asarray(jnp.stack(state.phys.qpos)))
-            ret += float(r)
+            if telemetry is not None:
+                tt, vl, vr = (float(x) for x in telemetry(state))
+                click.echo(f"{tt:.6f}, {vl:.6f}, {vr:.6f}")
             t += 1
-            if bool(term) or bool(trunc):
+            if done_at is None:
+                ret += float(r)
+                if bool(term) or bool(trunc):
+                    done_at = t
+                    click.echo(f"episode {ep}: return={ret:.1f} len={t}")
+            elif t - done_at > GRACE_STEPS:
                 break
-        click.echo(f"episode {ep}: return={ret:.1f} len={t}")
+        if done_at is None:
+            click.echo(f"episode {ep}: return={ret:.1f} len={t}")
     if record is not None:
         np.savez(record, qpos=np.stack(traj) if traj else np.zeros((0,)))
         click.echo(f"trajectory recorded to {record} "
@@ -220,11 +246,13 @@ def convert(ctx, env_id):
     params = checkpoint.load(path)
     base = pathlib.Path(path).parent
     onnx_path = base / "best_model.onnx"
-    try:
-        pipeline.export_onnx(params, onnx_path)
-        click.echo(f"wrote {onnx_path}")
-    except Exception as e:  # torch exporter is optional
-        click.echo(f"ONNX export unavailable: {e}")
+    pipeline.export_onnx(params, onnx_path)
+    # validate the artifact immediately (the reference defers this to
+    # test-onnx's onnx.checker, sb_rl.py:209; failing at export time is
+    # strictly safer — a broken graph must not ship silently)
+    from .export import onnx_runtime
+    onnx_runtime.check_model(onnx_runtime.load_model(onnx_path))
+    click.echo(f"wrote {onnx_path}")
     sm = base / "saved_model"
     pipeline.export_savedmodel(params, sm)
     click.echo(f"wrote {sm}")
@@ -321,16 +349,36 @@ def test_tflite_quant(ctx, env_id, show_io, episodes):
 
 @cli.command("test-onnx")
 @click.option("-e", "--env", "env_id", required=True)
+@click.option("--show-io", is_flag=True, default=False)
+@click.option("--episodes", default=1, show_default=True)
 @click.pass_context
-def test_onnx(ctx, env_id):
-    """Run the exported ONNX model (requires onnxruntime)."""
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError:
-        raise click.ClickException(
-            "onnxruntime is not installed in this environment; the ONNX "
-            "artifact is produced by `convert` and can be validated where "
-            "ORT is available")
+def test_onnx(ctx, env_id, show_io, episodes):
+    """Run the exported ONNX model in the env (reference sb_rl.py:185-230:
+    onnx.checker + InferenceSession episode loop).  Uses onnxruntime when
+    installed, else the built-in numpy executor (export/onnx_runtime.py) —
+    both validate the graph first."""
+    import balance_robot_tpu as brt
+    from .export import onnx_runtime
+
+    env = brt.make(env_id)
+    path = ctx.obj["MODEL_PATH"]
+    if path is None:
+        path = pathlib.Path(_default_model(
+            env_id, ctx.obj["ALGORITHM_NAME"])).parent / "best_model.onnx"
+    elif not str(path).endswith(".onnx"):
+        path = pathlib.Path(path).parent / "best_model.onnx"
+    if not pathlib.Path(path).is_file():
+        raise click.ClickException(f"could not open model file: {path} "
+                                   "(run `convert` first)")
+    sess = onnx_runtime.session(path)
+    input_name = sess.get_inputs()[0].name
+    output_name = sess.get_outputs()[0].name
+
+    def act(obs):
+        feed = {input_name: obs.astype(np.float32)[None, :]}
+        return sess.run([output_name], feed)[0][0]
+
+    _run_episodes(env, act, episodes, env.max_episode_steps, show_io)
 
 
 @cli.command("test-tflite-arduino")

@@ -7,8 +7,9 @@ reference-parity control step (250 implicitfast substeps + contacts + Newton
 solve + obs / reward / termination / auto-reset) plus the policy forward,
 with the training-grade solver (newton 4 / ls 6: 1.5e-8 qpos agreement with
 real MuJoCo over 10k substeps — the grade the trainer actually runs) and the
-fused pallas control-step kernel (250 substeps per kernel, bit-identical to
-the XLA path; physics/pallas_step.py).
+fused pallas control-step kernel (250 substeps per kernel; bit-identical to
+the XLA path in interpret mode, ~1e-5/control-step float-contraction
+divergence on hardware — see physics/pallas_step.py and docs/PERFORMANCE.md).
 vs_baseline is the speedup over the reference's single-env CPU throughput
 measured on this host by tools/measure_reference.py (the reference publishes
 no numbers; BASELINE.md).

@@ -49,7 +49,6 @@ def _make_env01():
     return brt.make("Env01-v1")
 
 
-@pytest.mark.slow
 def test_iteration_runs_and_params_move():
     env = _make_env01()
     cfg = PPOConfig(n_envs=2, n_steps=4, minibatch_size=8, n_epochs=1)
@@ -61,7 +60,6 @@ def test_iteration_runs_and_params_move():
     assert not np.allclose(np.asarray(ts.params["pi_w1"]), p0)
 
 
-@pytest.mark.slow
 def test_sharded_iteration_multichip():
     """Full train step over the 8-device virtual mesh (the dryrun path)."""
     import balance_robot_tpu as brt
@@ -81,7 +79,6 @@ def test_sharded_iteration_multichip():
     assert len(ts.params["pi_w1"].sharding.device_set) == 8
 
 
-@pytest.mark.slow
 def test_evaluate_chunked():
     """evaluate runs as host-chunked kernels (one device program per 250
     control steps — a full 6000-step episode in one kernel trips the TPU

@@ -7,9 +7,18 @@ SURVEY §2.1).  Usage:
     python tools/replay.py traj.npz [--env Env01-v1] [--out movie.mp4]
 
 With no GL available, use --print to dump the pitch trace instead.
+
+Recorded trajectories carry only the dofs our physics simulates (9 for the
+8-dof scenes, 16 for the Env03 block scenes); scenes with extra decorative
+bodies (env03_v1_fail.xml, nq=23) are padded to the scene's nq by
+`expand_frames`, which also reproduces the FAIL-mesh drop as a replay-side
+animation: the reference teleports the mesh above the fallen robot on first
+termination (env03_v1_fail.py:125-140) and lets physics drop it; here the
+drop is a kinematic ballistic fall baked into the padded frames.
 """
 
 import argparse
+import math
 import sys
 
 import numpy as np
@@ -22,6 +31,67 @@ SCENES = {
     "EnvMove05-v1": "envMove05_v1.xml",
 }
 
+TERMINATE_PITCH = math.radians(50.0)        # env01_v1.py:31
+FAIL_PARK = [10.0, 10.0, -2.0, 1.0, 0.0, 0.0, 0.0]   # env03_v1_fail.py:95-97
+CONTROL_DT = 0.005
+
+
+def pitch_trace(qpos):
+    """Per-frame pitch from the free-joint quaternion (RobotBaseEnv.py:127)."""
+    from scipy.spatial.transform import Rotation
+    q = qpos[:, 3:7]
+    # guard all-zero quats like the reference's get_pitch
+    ok = np.abs(q).sum(axis=1) > 0
+    out = np.zeros(len(q))
+    if ok.any():
+        r = Rotation.from_quat(q[ok][:, [1, 2, 3, 0]])
+        out[ok] = r.as_euler("xyz")[:, 0]
+    return out
+
+
+def _fail_drop_quat():
+    """The reference's drop orientation, INCLUDING its scrambled raw
+    as_quat->qpos assignment ([x,y,z,w] written where MuJoCo reads
+    [w,x,y,z], env03_v1_fail.py:132-139) — replay must match as-built."""
+    from scipy.spatial.transform import Rotation
+    return Rotation.from_euler(
+        "xyz", [math.pi / 4, math.pi, math.pi / 2 + math.pi]).as_quat()
+
+
+def expand_frames(qpos, env, scene_nq):
+    """Pad recorded (T, nq_rec) frames to the scene's nq.
+
+    Unrecorded trailing dofs are the fail body's parked free joint; for
+    Env03-v1-fail the FAIL mesh additionally drops (kinematic ballistic
+    fall from z=0.5 to rest) starting at the first terminated frame —
+    the replay-side equivalent of the reference's drop_fail physics event
+    (env03_v1_fail.py:125-140)."""
+    qpos = np.asarray(qpos)
+    T, nq_rec = qpos.shape
+    if nq_rec > scene_nq:
+        raise ValueError(f"recorded nq={nq_rec} exceeds scene nq={scene_nq}")
+    if nq_rec == scene_nq:
+        return qpos
+    if scene_nq - nq_rec != 7:
+        raise ValueError(f"cannot pad nq {nq_rec} -> {scene_nq}: expected "
+                         "one extra free joint (7 coords)")
+    out = np.concatenate(
+        [qpos, np.tile(np.asarray(FAIL_PARK), (T, 1))], axis=1)
+    if env == "Env03-v1-fail":
+        pitch = pitch_trace(qpos)
+        hits = np.nonzero(np.abs(pitch) > TERMINATE_PITCH)[0]
+        if hits.size:
+            k = int(hits[0])
+            rx, ry = qpos[k, 0], qpos[k, 1]
+            # reference drop point: (robot_x-0.3, robot_y+0.3, 0.5)
+            quat = _fail_drop_quat()
+            for i in range(k, T):
+                t = (i - k) * CONTROL_DT
+                z = max(0.5 - 0.5 * 9.81 * t * t, 0.06)
+                out[i, nq_rec:nq_rec + 3] = [rx - 0.3, ry + 0.3, z]
+                out[i, nq_rec + 3:] = quat
+    return out
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -33,28 +103,27 @@ def main():
 
     data = np.load(args.traj)
     qpos = data["qpos"]
-    print(f"{len(qpos)} control steps ({len(qpos) * 0.005:.2f} s)")
+    print(f"{len(qpos)} control steps ({len(qpos) * CONTROL_DT:.2f} s)")
 
     if args.print_only or args.out is None:
-        from scipy.spatial.transform import Rotation
+        pitch = pitch_trace(qpos)
         for i in range(0, len(qpos), max(1, len(qpos) // 40)):
-            q = qpos[i, 3:7]
-            pitch = Rotation.from_quat(
-                [q[1], q[2], q[3], q[0]]).as_euler("xyz")[0]
-            bar = "#" * int(abs(pitch) * 40)
-            print(f"t={i * 0.005:6.2f}s pitch={np.degrees(pitch):+7.2f} {bar}")
+            bar = "#" * int(abs(pitch[i]) * 40)
+            print(f"t={i * CONTROL_DT:6.2f}s "
+                  f"pitch={np.degrees(pitch[i]):+7.2f} {bar}")
         return
 
     import mujoco
     m = mujoco.MjModel.from_xml_path(
         f"/root/reference/src/balance_robot/envs/{SCENES[args.env]}")
     d = mujoco.MjData(m)
+    frames_q = expand_frames(qpos, args.env, m.nq)
     try:
         import imageio
         renderer = mujoco.Renderer(m, 480, 640)
         frames = []
-        for i in range(0, len(qpos), 2):   # ~100 fps -> 50 fps video
-            d.qpos[:len(qpos[i])] = qpos[i]
+        for i in range(0, len(frames_q), 2):   # ~200 fps -> 100 fps video
+            d.qpos[:] = frames_q[i]
             mujoco.mj_forward(m, d)
             renderer.update_scene(d)
             frames.append(renderer.render())
