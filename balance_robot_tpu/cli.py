@@ -162,7 +162,7 @@ GRACE_STEPS = 200   # post-termination viewer steps before auto-reset
 
 
 def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,
-                  record=None):
+                  record=None, show_i=False):
     """Shared inference loop for the test-* commands (reference
     sb_rl.py:163-182): deterministic episodes with returns printed at
     termination, then GRACE_STEPS further physics steps (the reference
@@ -188,6 +188,10 @@ def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,
             action = act_fn(np.asarray(obs))
             if show_io and t % 30 == 0:
                 click.echo(f"obs={np.asarray(obs)} action={action}")
+            if show_i and t % 30 == 0:
+                # reference --show-i: obs in Python list syntax, ready to
+                # paste into a quantization envelope (sb_rl.py:170-171)
+                click.echo(str([float(v) for v in np.asarray(obs)]) + ",")
             state, obs, r, term, trunc = step(state, jnp.asarray(action))
             if record is not None:
                 traj.append(np.asarray(jnp.stack(state.phys.qpos)))
@@ -213,10 +217,13 @@ def _run_episodes(env, act_fn, episodes, max_steps, show_io=False,
 @cli.command()
 @click.option("-e", "--env", "env_id", required=True)
 @click.option("--show-io", is_flag=True, default=False)
+@click.option("--show-i", is_flag=True, default=False,
+              help="log obs in Python array syntax every 30th step "
+                   "(reference sb_rl.py:139,170-171)")
 @click.option("--episodes", default=3, show_default=True)
 @click.option("--record", default=None, help="record qpos trajectory (npz)")
 @click.pass_context
-def test(ctx, env_id, show_io, episodes, record):
+def test(ctx, env_id, show_io, show_i, episodes, record):
     """Run the trained policy in the env (native inference)."""
     import balance_robot_tpu as brt
     from .train import checkpoint
@@ -230,7 +237,8 @@ def test(ctx, env_id, show_io, episodes, record):
     def act(obs):
         return np.asarray(mlp.policy_mean(params, obs[None, :])[0])
 
-    _run_episodes(env, act, episodes, env.max_episode_steps, show_io, record)
+    _run_episodes(env, act, episodes, env.max_episode_steps, show_io, record,
+                  show_i=show_i)
 
 
 @cli.command()

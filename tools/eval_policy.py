@@ -30,6 +30,9 @@ p.add_argument("--env", default="Env01-v2")
 p.add_argument("--episodes", type=int, default=256)
 p.add_argument("--seed", type=int, default=0)
 p.add_argument("--chunk", type=int, default=250)
+p.add_argument("--dump", default=None,
+               help="npz path for per-episode (return, length, start pitch) "
+                    "arrays — failure analysis of the non-surviving tail")
 args = p.parse_args()
 
 env = brt.make(args.env)
@@ -79,6 +82,10 @@ _, _, ret, _, lens = carry
 ret = np.asarray(ret)
 lens = np.asarray(lens)
 recoverable = np.abs(np.asarray(p0)) < TERMINATE_PITCH
+if args.dump:
+    np.savez(args.dump, ret=ret, lens=lens, p0=np.asarray(p0),
+             seed=args.seed)
+    print(f"per-episode arrays -> {args.dump}")
 
 print(f"{args.env}  {args.model}  ({args.episodes} deterministic episodes, "
       f"horizon {max_steps})")

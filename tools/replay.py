@@ -119,19 +119,29 @@ def main():
     d = mujoco.MjData(m)
     frames_q = expand_frames(qpos, args.env, m.nq)
     try:
-        import imageio
         renderer = mujoco.Renderer(m, 480, 640)
         frames = []
-        for i in range(0, len(frames_q), 2):   # ~200 fps -> 100 fps video
+        for i in range(0, len(frames_q), 4):   # 200 Hz sim -> 50 fps video
             d.qpos[:] = frames_q[i]
             mujoco.mj_forward(m, d)
             renderer.update_scene(d)
             frames.append(renderer.render())
-        imageio.mimwrite(args.out, frames, fps=50)
-        print(f"wrote {args.out}")
     except Exception as e:
         print(f"rendering unavailable ({e}); use --print", file=sys.stderr)
         sys.exit(1)
+    try:
+        import imageio
+        imageio.mimwrite(args.out, frames, fps=50)
+        print(f"wrote {args.out}")
+    except Exception as e:
+        # no ffmpeg backend in this image -> animated GIF via pillow
+        import pathlib
+        from PIL import Image
+        gif = str(pathlib.Path(args.out).with_suffix(".gif"))
+        imgs = [Image.fromarray(f).reduce(2) for f in frames[::2]]  # 25 fps
+        imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                     duration=40, loop=0)
+        print(f"no mp4 encoder ({e}); wrote {gif}")
 
 
 if __name__ == "__main__":
