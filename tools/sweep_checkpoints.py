@@ -1,0 +1,116 @@
+"""Sweep every checkpoint of a run with a large deterministic eval and rank
+by full-horizon survival.
+
+The training runner gates best_model on a small (5-16 episode) eval, which
+is noisy at the flagship's margins; this sweeps cp_*.npz + best/longest/
+final with a 256-episode eval instead.  The eval kernel takes params as an
+ARGUMENT, so all checkpoints share one compile — on chip each additional
+checkpoint costs only the rollout itself.
+
+Usage: python tools/sweep_checkpoints.py models/Env03-v2_r2a \
+           [--env Env03-v2] [--episodes 256] [--out sweep.json]
+"""
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import balance_robot_tpu as brt
+from balance_robot_tpu.models import mlp
+from balance_robot_tpu.train import checkpoint as ckpt
+
+ap = argparse.ArgumentParser()
+ap.add_argument("run_dir")
+ap.add_argument("--env", default="Env03-v2")
+ap.add_argument("--episodes", type=int, default=256)
+ap.add_argument("--seed", type=int, default=0)
+ap.add_argument("--chunk", type=int, default=250)
+ap.add_argument("--every", type=int, default=1,
+                help="evaluate every Nth numbered checkpoint")
+ap.add_argument("--out", default=None, help="write ranked results as JSON")
+args = ap.parse_args()
+
+env = brt.make(args.env)
+env.use_fast_solver()
+if hasattr(env, "use_pallas_physics") and \
+        jax.devices()[0].platform == "tpu":
+    try:
+        env.use_pallas_physics()
+    except NotImplementedError:
+        pass
+max_steps = env.max_episode_steps
+
+
+@jax.jit
+def reset_all(keys):
+    states, obs = jax.vmap(env.reset)(keys)
+    n = keys.shape[0]
+    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
+            jnp.zeros(n, jnp.int32))
+
+
+@jax.jit
+def chunk(params, carry):
+    def body(carry, _):
+        states, obs, ret, done, t = carry
+        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
+        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
+        keep = lambda A, B: jax.tree.map(
+            lambda x, y: jnp.where(
+                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
+        states = keep(states, states2)
+        obs = keep(obs, obs2)
+        ret = ret + jnp.where(done, 0.0, r)
+        t = t + (~done).astype(jnp.int32)
+        done = done | term | trunc
+        return (states, obs, ret, done, t), None
+
+    carry, _ = jax.lax.scan(body, carry, None, length=args.chunk)
+    return carry
+
+
+def evaluate(params, keys):
+    carry = reset_all(keys)
+    steps = 0
+    while steps < max_steps:
+        carry = chunk(params, carry)
+        steps += args.chunk
+        if bool(carry[3].all()):
+            break
+    _, _, ret, _, lens = carry
+    return np.asarray(ret), np.asarray(lens)
+
+
+run = pathlib.Path(args.run_dir)
+numbered = sorted(run.glob("cp_*.npz"),
+                  key=lambda p: int(p.stem.split("_")[1]))[::args.every]
+named = [run / f"{n}.npz" for n in ("best_model", "longest_model",
+                                    "final_model")]
+paths = [p for p in numbered + named if p.exists()]
+print(f"{len(paths)} checkpoints, {args.episodes} episodes each, "
+      f"horizon {max_steps} ({jax.devices()[0].platform})", flush=True)
+
+keys = jax.random.split(jax.random.PRNGKey(args.seed), args.episodes)
+rows = []
+for p in paths:
+    params = ckpt.load(p)
+    ret, lens = evaluate(params, keys)
+    full = float((lens >= max_steps - 1).mean())
+    rows.append(dict(ckpt=p.name, full_horizon=full,
+                     mean_return=float(ret.mean()),
+                     mean_len=float(lens.mean()),
+                     median_len=float(np.median(lens))))
+    print(f"  {p.name:24s} full={100 * full:5.1f}%  "
+          f"ret={ret.mean():8.1f}  len={lens.mean():6.0f}", flush=True)
+
+rows.sort(key=lambda r: (r["full_horizon"], r["mean_len"]), reverse=True)
+print("\nbest:", rows[0])
+if args.out:
+    pathlib.Path(args.out).write_text(json.dumps(rows, indent=1))
+    print(f"wrote {args.out}")
