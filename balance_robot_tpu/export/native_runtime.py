@@ -1,7 +1,10 @@
-"""ctypes binding to the native C++ int8 runtime (native/int8_runtime.cc).
+"""ctypes bindings to the native C++ runtimes (native/*.cc).
 
-Builds on demand with `make -C native` (g++ is in the image); the runtime
-executes .brq artifacts bit-identically to the JAX int8 simulator."""
+Builds on demand with `make -C native` (g++ is in the image):
+  * libint8_runtime.so — executes .brq artifacts bit-identically to the
+    JAX int8 simulator (the TFLite-Micro stand-in).
+  * libonnx_runtime.so — parses + executes the exported .onnx policy graph
+    in float32 (the ONNX Runtime C++ stand-in, sb_rl.py:211-220)."""
 
 import ctypes
 import pathlib
@@ -11,14 +14,19 @@ import numpy as np
 
 NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
 LIB = NATIVE_DIR / "libint8_runtime.so"
+ONNX_LIB = NATIVE_DIR / "libonnx_runtime.so"
+
+
+def _make(lib_path, src_name):
+    src = NATIVE_DIR / src_name
+    if not lib_path.exists() or lib_path.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                       capture_output=True)
+    return lib_path
 
 
 def _ensure_built():
-    if not LIB.exists() or (LIB.stat().st_mtime
-                            < (NATIVE_DIR / "int8_runtime.cc").stat().st_mtime):
-        subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
-                       capture_output=True)
-    return LIB
+    return _make(LIB, "int8_runtime.cc")
 
 
 class NativeInt8Policy:
@@ -77,3 +85,71 @@ class NativeInt8Policy:
     def __del__(self):
         if getattr(self, "_h", None):
             self._lib.brq_destroy(self._h)
+
+
+class _IoSpec:
+    def __init__(self, name):
+        self.name = name
+
+
+class NativeOnnxSession:
+    """InferenceSession-compatible wrapper over the C++ ONNX executor
+    (native/onnx_runtime.cc).  Graph IO names come from the Python parser
+    (onnx_runtime.load_model); execution is native.  Float parity with the
+    numpy executor and the JAX policy is asserted in tests/test_onnx.py."""
+
+    def __init__(self, path):
+        from . import onnx_runtime as pyrt
+
+        model = pyrt.load_model(path)
+        pyrt.check_model(model)
+        g = model["graph"]
+        init = set(g["initializers"])
+        self._input_names = [n for n in g["inputs"] if n not in init]
+        self._output_names = list(g["outputs"])
+
+        lib = ctypes.CDLL(str(_make(ONNX_LIB, "onnx_runtime.cc")))
+        lib.onnx_load.restype = ctypes.c_void_p
+        lib.onnx_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int]
+        lib.onnx_free.argtypes = [ctypes.c_void_p]
+        lib.onnx_run.restype = ctypes.c_int
+        lib.onnx_run.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        self._lib = lib
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.onnx_load(str(path).encode(), err, 256)
+        if not self._h:
+            raise ValueError(f"onnx_load: {err.value.decode()}")
+
+    def get_inputs(self):
+        return [_IoSpec(n) for n in self._input_names]
+
+    def get_outputs(self):
+        return [_IoSpec(n) for n in self._output_names]
+
+    def run(self, output_names, feeds):
+        obs = np.ascontiguousarray(
+            list(feeds.values())[0], np.float32).reshape(-1)
+        if output_names is None:
+            output_names = self._output_names
+        results = []
+        err = ctypes.create_string_buffer(256)
+        for name in output_names:
+            idx = self._output_names.index(name)
+            out = np.zeros(64, np.float32)
+            n = self._lib.onnx_run(
+                self._h, obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                obs.size, idx,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                out.size, err, 256)
+            if n < 0:
+                raise RuntimeError(f"onnx_run: {err.value.decode()}")
+            results.append(out[:n].reshape(1, n))
+        return results
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.onnx_free(self._h)

@@ -402,12 +402,23 @@ class NumpySession:
 
 def session(path):
     """An inference session for `path`: real onnxruntime when available,
-    the numpy executor otherwise (same get_inputs/get_outputs/run surface).
-    Both legs validate the model first (onnx.checker / check_model)."""
+    else the native C++ executor (native/onnx_runtime.cc — the ORT-C++
+    stand-in), else the numpy executor.  All legs share the
+    get_inputs/get_outputs/run surface and validate the model first
+    (onnx.checker / check_model)."""
     try:
         import onnx
         import onnxruntime as ort
         onnx.checker.check_model(onnx.load(str(path)))
         return ort.InferenceSession(str(path))
     except ImportError:
+        pass
+    try:
+        from .native_runtime import NativeOnnxSession
+        return NativeOnnxSession(path)
+    except (OSError, RuntimeError, ValueError, ImportError) as e:
+        # no toolchain / build failure -> pure-python leg
+        import sys
+        print(f"native ONNX runtime unavailable ({e}); using the numpy "
+              "executor", file=sys.stderr)
         return NumpySession(path)

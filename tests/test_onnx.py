@@ -97,3 +97,31 @@ def test_session_episode_loop(exported):
         a = sess.run([out], {inp: np.asarray(obs, np.float32)[None, :]})[0][0]
         state, obs, r, term, trunc = step(state, jnp.asarray(a))
         assert np.isfinite(float(r))
+
+
+def test_native_cpp_session_matches_jax(exported):
+    """The C++ ONNX executor (native/onnx_runtime.cc, the reference's
+    ORT-C++ leg) agrees with the JAX policy and the numpy executor."""
+    from balance_robot_tpu.export.native_runtime import NativeOnnxSession
+
+    params, path = exported
+    try:
+        sess = NativeOnnxSession(path)
+    except Exception as e:                    # no g++/make in env
+        pytest.skip(f"native build unavailable: {e}")
+    assert sess.get_outputs()[0].name == "output"
+    assert sess.get_inputs()[0].name == "input"
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        obs = rng.uniform(-3, 3, size=(1, 6)).astype(np.float32)
+        actions, value, log_std = sess.run(
+            [o.name for o in sess.get_outputs()], {"input": obs})
+        np.testing.assert_allclose(
+            actions[0], np.asarray(mlp.policy_mean(params, obs[0])),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            value[0, 0], float(mlp.value(params, obs[0])), atol=1e-6)
+        np.testing.assert_allclose(
+            log_std[0], np.asarray(params["log_std"]), atol=1e-6)
+    with pytest.raises(RuntimeError):
+        sess.run(["output"], {"input": np.zeros((1, 999), np.float32)})

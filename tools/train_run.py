@@ -17,6 +17,9 @@ p.add_argument("--mb", type=int, default=1024)
 p.add_argument("--epochs", type=int, default=10)
 p.add_argument("--seed", type=int, default=0)
 p.add_argument("--init", default=None)
+p.add_argument("--resume", action="store_true",
+               help="exact restart from <models>/<run-name>/resume_state.npz "
+                    "(params + optimizer + env states + rng + step counter)")
 p.add_argument("--max-steps", type=int, default=int(3e7))
 p.add_argument("--max-wall", type=float, default=None)
 p.add_argument("--run-name", default=None)
@@ -54,6 +57,6 @@ best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
     eval_freq=args.eval_freq, ckpt_freq=2 * args.eval_freq,
     n_eval_episodes=args.eval_episodes,
-    init_params=init, max_wall_s=args.max_wall,
+    init_params=init, max_wall_s=args.max_wall, resume=args.resume,
     run_name=args.run_name, models_dir="models", logs_dir="logs")
 print("done; best saved under models/")
