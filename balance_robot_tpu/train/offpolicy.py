@@ -160,10 +160,26 @@ class OffPolicy:
             "log_alpha": jnp.log(jnp.float32(cfg.init_alpha)),
         }
 
-    def init(self, key):
+    def init(self, key, params=None):
+        """Fresh train state; `params` warm-starts from a prior run of the
+        SAME algorithm (the reference's `-m` curriculum mechanism,
+        algorithm_class.load at sb_rl.py:524).  Missing target networks are
+        re-seeded from the loaded online networks."""
         cfg = self.cfg
         kp, ke, kk = jax.random.split(key, 3)
-        params = self._init_params(kp)
+        if params is None:
+            params = self._init_params(kp)
+        else:
+            base = self._init_params(kp)
+            loaded = {k: jax.tree.map(jnp.asarray, v)
+                      for k, v in params.items()}
+            missing = {k for k in ("actor", "q1", "q2")
+                       if k not in loaded}
+            if missing:
+                raise ValueError(
+                    f"warm-start params are missing networks {sorted(missing)}"
+                    f" — not a {cfg.algo} checkpoint?")
+            params = {**base, **loaded}
         params["q1_t"] = jax.tree.map(lambda x: x, params["q1"])
         params["q2_t"] = jax.tree.map(lambda x: x, params["q2"])
         if cfg.algo == "SAC":

@@ -64,13 +64,7 @@ def train(env, config: PPOConfig, seed=0,
     train_freq)."""
     cfg = config
     ppo = trainer if trainer is not None else PPO(env, cfg)
-    if trainer is None:
-        ts = ppo.init(jax.random.PRNGKey(seed), params=init_params)
-    else:
-        ts = ppo.init(jax.random.PRNGKey(seed))
-        if init_params is not None and verbose:
-            print("[runner] warm start is not supported for off-policy "
-                  "trainers; starting fresh", flush=True)
+    ts = ppo.init(jax.random.PRNGKey(seed), params=init_params)
 
     run_name = run_name or f"{env.id}_PPO"
     mdir = pathlib.Path(models_dir) / run_name

@@ -138,3 +138,27 @@ def test_checkpoint_nested_roundtrip(tmp_path):
     back = ck.load_into(tmp_path / "p", ts.params)
     for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_offpolicy_warm_start():
+    """`-m` curriculum for SAC/TD3/DDPG (reference algorithm_class.load,
+    sb_rl.py:524): online nets load, targets re-seed from them, and a
+    non-matching checkpoint fails loudly instead of silently starting
+    fresh (round-1 behavior)."""
+    from balance_robot_tpu.train.factory import algorithm_factory
+
+    env = _make_env01()
+    tr, _ = algorithm_factory("TD3", env, n_envs=2, buffer_size=128,
+                              batch_size=8, learning_starts=1,
+                              train_freq=1, gradient_steps=1)
+    ts = tr.init(jax.random.PRNGKey(0))
+    saved = jax.tree.map(np.asarray, ts.params)
+    ts2 = tr.init(jax.random.PRNGKey(9), params=saved)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ts2.params["actor"])[0]),
+        np.asarray(jax.tree.leaves(saved["actor"])[0]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ts2.params["q1_t"])[0]),
+        np.asarray(jax.tree.leaves(ts2.params["q1"])[0]))
+    with pytest.raises(ValueError, match="missing networks"):
+        tr.init(jax.random.PRNGKey(1), params={"pi_w1": np.zeros((6, 64))})
