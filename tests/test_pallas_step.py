@@ -38,17 +38,19 @@ def test_scalar_substep_equals_array_path():
             rtol=0, atol=1e-4)
 
 
-@pytest.mark.parametrize("env_id", ["Env01-v2", "Env02-v1"])
-def test_vecenv_pallas_matches_xla(env_id):
+# Env01-v2 runs in the default gate (small shapes: interpret-mode pallas is
+# ~1 s per substep-batch on CPU); the Env02 variant — same kernel, different
+# contact params — lives in the slow tier with the other interpret parity
+# tests.
+def _vecenv_pallas_matches_xla(env_id, B=4, steps=2):
     envA = brt.make(env_id)
     envB = brt.make(env_id).use_pallas_physics(interpret=True)
-    B = 8
     vA, vB = VecEnv(envA, B), VecEnv(envB, B)
     sA, _ = jax.jit(vA.reset)(jax.random.PRNGKey(0))
     sB, _ = jax.jit(vB.reset)(jax.random.PRNGKey(0))
     stepA, stepB = jax.jit(vA.step), jax.jit(vB.step)
     rng = np.random.default_rng(2)
-    for t in range(3):
+    for t in range(steps):
         a = jnp.asarray(rng.uniform(-1, 1, (B, 2)), jnp.float32)
         sA, outA = stepA(sA, a)
         sB, outB = stepB(sB, a)
@@ -56,6 +58,15 @@ def test_vecenv_pallas_matches_xla(env_id):
                                       np.asarray(outB.obs))
         np.testing.assert_array_equal(np.asarray(outA.reward),
                                       np.asarray(outB.reward))
+
+
+def test_vecenv_pallas_matches_xla():
+    _vecenv_pallas_matches_xla("Env01-v2")
+
+
+@pytest.mark.slow
+def test_vecenv_pallas_matches_xla_env02():
+    _vecenv_pallas_matches_xla("Env02-v1", B=8, steps=3)
 
 
 def test_pallas_pads_ragged_batch():
