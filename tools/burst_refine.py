@@ -1,0 +1,168 @@
+"""Iterated burst fine-tuning with large-eval checkpoint selection.
+
+Motivation (measured, round 2): PPO on Env03-v2 at this policy's quality
+level oscillates — long runs degrade (entropy collapse), but the first few
+million steps of a gentle warm-started run IMPROVE the policy (82.8% ->
+85.2% full-horizon at 4M steps of lr 1e-4 before degrading).  So: run SHORT
+bursts from the current best, snapshot densely, select with a large
+fixed-key eval, and restart from the winner.  Everything happens in one
+process so the trainer and eval kernels compile exactly once.
+
+Selection is paired (same eval keys for every snapshot); the winner should
+be re-evaluated on a fresh seed for reporting (tools/eval_policy.py).
+
+Usage:
+  python tools/burst_refine.py --init models/Env03-v2_r2a/cp_4030464.npz \
+      --bursts 6 --burst-steps 12000000 --lr 5e-5 --out models/Env03-v2_r2b
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import balance_robot_tpu as brt
+from balance_robot_tpu.models import mlp
+from balance_robot_tpu.train.ppo import PPO, PPOConfig
+from balance_robot_tpu.train import checkpoint as ckpt
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--env", default="Env03-v2")
+ap.add_argument("--init", required=True)
+ap.add_argument("--out", default="models/Env03-v2_r2b")
+ap.add_argument("--bursts", type=int, default=6)
+ap.add_argument("--burst-steps", type=int, default=12_000_000)
+ap.add_argument("--snap-steps", type=int, default=1_000_000)
+ap.add_argument("--lr", type=float, default=5e-5)
+ap.add_argument("--lr-decay", type=float, default=0.7,
+                help="lr multiplier applied after a burst with no "
+                     "improvement")
+ap.add_argument("--epochs", type=int, default=10)
+ap.add_argument("--envs", type=int, default=1024)
+ap.add_argument("--steps", type=int, default=32)
+ap.add_argument("--mb", type=int, default=1024)
+ap.add_argument("--gamma", type=float, default=0.999)
+ap.add_argument("--eval-episodes", type=int, default=512)
+ap.add_argument("--seed", type=int, default=0)
+ap.add_argument("--max-wall", type=float, default=7200)
+args = ap.parse_args()
+
+env = brt.make(args.env)
+env.use_fast_solver()
+if hasattr(env, "use_pallas_physics") and \
+        jax.devices()[0].platform == "tpu":
+    env.use_pallas_physics()
+max_steps = env.max_episode_steps
+out_dir = pathlib.Path(args.out)
+out_dir.mkdir(parents=True, exist_ok=True)
+
+# ---------------------------------------------------------------- eval
+CHUNK = 250
+
+
+@jax.jit
+def _reset_all(keys):
+    states, obs = jax.vmap(env.reset)(keys)
+    n = keys.shape[0]
+    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
+            jnp.zeros(n, jnp.int32))
+
+
+@jax.jit
+def _chunk(params, carry):
+    def body(carry, _):
+        states, obs, ret, done, t = carry
+        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
+        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
+        keep = lambda A, B: jax.tree.map(
+            lambda x, y: jnp.where(
+                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
+        states = keep(states, states2)
+        obs = keep(obs, obs2)
+        ret = ret + jnp.where(done, 0.0, r)
+        t = t + (~done).astype(jnp.int32)
+        done = done | term | trunc
+        return (states, obs, ret, done, t), None
+
+    carry, _ = jax.lax.scan(body, carry, None, length=CHUNK)
+    return carry
+
+
+EVAL_KEYS = jax.random.split(jax.random.PRNGKey(args.seed),
+                             args.eval_episodes)
+
+
+def big_eval(params):
+    """(full_horizon_rate, mean_return, mean_len) on the FIXED key set —
+    paired across snapshots so selection noise is mostly common-mode."""
+    carry = _reset_all(EVAL_KEYS)
+    steps = 0
+    while steps < max_steps:
+        carry = _chunk(params, carry)
+        steps += CHUNK
+        if bool(carry[3].all()):
+            break
+    _, _, ret, _, lens = carry
+    lens = np.asarray(lens)
+    return (float((lens >= max_steps - 1).mean()),
+            float(np.asarray(ret).mean()), float(lens.mean()))
+
+
+# ---------------------------------------------------------------- bursts
+t0 = time.time()
+best_params = ckpt.load(args.init)
+score0 = big_eval(best_params)
+best = dict(score=score0[0], ret=score0[1], src=str(args.init))
+print(f"[burst] init {args.init}: full={100 * score0[0]:.1f}% "
+      f"ret={score0[1]:.0f} len={score0[2]:.0f}", flush=True)
+
+lr = args.lr
+history = []
+key = jax.random.PRNGKey(args.seed + 100)
+for b in range(args.bursts):
+    if time.time() - t0 > args.max_wall:
+        print("[burst] wall budget reached", flush=True)
+        break
+    cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
+                    minibatch_size=args.mb, n_epochs=args.epochs,
+                    gamma=args.gamma, lr=lr)
+    ppo = PPO(env, cfg)
+    key, kb = jax.random.split(key)
+    ts = ppo.init(kb, params=best_params)
+    spi = cfg.n_envs * cfg.n_steps
+    snaps, steps, next_snap = [], 0, args.snap_steps
+    while steps < args.burst_steps:
+        ts, metrics = ppo.iteration(ts)
+        steps += spi
+        if steps >= next_snap:
+            snaps.append((steps, jax.tree.map(np.asarray, ts.params)))
+            next_snap += args.snap_steps
+    improved = False
+    for s_steps, params in snaps:
+        full, ret, length = big_eval(params)
+        tag = ""
+        if full > best["score"]:
+            best = dict(score=full, ret=ret,
+                        src=f"burst{b}@{s_steps}")
+            best_params = params
+            ckpt.save(out_dir / "best_model", params)
+            improved, tag = True, "  <-- new best"
+        print(f"[burst {b} lr={lr:.1e}] {s_steps / 1e6:5.1f}M "
+              f"full={100 * full:5.1f}% ret={ret:7.0f} len={length:6.0f}"
+              f"{tag}", flush=True)
+        history.append(dict(burst=b, steps=s_steps, lr=lr, full=full,
+                            ret=ret, len=length))
+    if not improved:
+        lr *= args.lr_decay
+        print(f"[burst {b}] no improvement -> lr {lr:.2e}", flush=True)
+    (out_dir / "burst_history.json").write_text(json.dumps(
+        dict(best=best, history=history), indent=1))
+
+print(f"[burst] DONE best={best} wall={time.time() - t0:.0f}s")
+print(f"[burst] final artifact: {out_dir / 'best_model.npz'}")
