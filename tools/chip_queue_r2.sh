@@ -1,21 +1,21 @@
 #!/bin/bash
-# Round-2 chip queue: waits for the Env03-v2_r2a training (PID $1) to exit,
-# then runs, in order: 256-episode candidate evals, the pallas-vs-XLA drift
-# probe (to calibrate the bench-time bound), and the EnvMove05-v1
-# outer-policy training + eval.  One TPU process at a time.
+# Round-2 chip queue: waits for the resumed Env03-v2_pallas training
+# (PID $1) to exit, then runs, in order: the 256-episode checkpoint sweeps
+# (the small training-time eval is too noisy to pick the best policy), the
+# pallas-vs-XLA drift probe (calibrates the bench-time bound), and the
+# EnvMove05-v1 outer-policy training + eval.  One TPU process at a time.
 set -u
 PID=${1:?usage: chip_queue_r2.sh PID}
 while kill -0 "$PID" 2>/dev/null; do sleep 60; done
 sleep 90   # let the chip settle after the worker releases
 
-echo "=== Env03-v2_r2a candidate eval (256 episodes) ==="
-for m in models/Env03-v2_r2a/best_model.npz \
-         models/Env03-v2_r2a/longest_model.npz \
-         models/Env03-v2_r2a/final_model.npz; do
-  [ -f "$m" ] || continue
-  echo "== $m"
-  timeout 1800 python tools/eval_policy.py "$m" --env Env03-v2 --episodes 256
-done
+echo "=== Env03-v2_pallas checkpoint sweep (256 episodes) ==="
+timeout 5400 python tools/sweep_checkpoints.py models/Env03-v2_pallas \
+  --env Env03-v2 --episodes 256 --every 2 --out runs/sweep_pallas.json
+
+echo "=== Env03-v2_r2a checkpoint sweep ==="
+timeout 2700 python tools/sweep_checkpoints.py models/Env03-v2_r2a \
+  --env Env03-v2 --episodes 256 --every 4 --out runs/sweep_r2a.json
 
 echo "=== pallas drift probe ==="
 timeout 1800 python tools/check_pallas_drift.py --env Env03-v2 --steps 5
