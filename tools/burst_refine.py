@@ -51,13 +51,29 @@ ap.add_argument("--gamma", type=float, default=0.999)
 ap.add_argument("--eval-episodes", type=int, default=512)
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--max-wall", type=float, default=7200)
+ap.add_argument("--train-block-speed", type=float, default=None,
+                help="domain hardening: train against faster blocks than "
+                     "the standard env (selection/eval stays standard). "
+                     "Failure analysis shows losses are uniform random "
+                     "block hits; overtraining the hit severity is the "
+                     "robustness lever.")
 args = ap.parse_args()
 
-env = brt.make(args.env)
-env.use_fast_solver()
-if hasattr(env, "use_pallas_physics") and \
-        jax.devices()[0].platform == "tpu":
-    env.use_pallas_physics()
+
+def _make_env(block_speed=None):
+    e = brt.make(args.env)
+    e.use_fast_solver()
+    if block_speed is not None:
+        e.block_speed = block_speed
+    if hasattr(e, "use_pallas_physics") and \
+            jax.devices()[0].platform == "tpu":
+        e.use_pallas_physics()
+    return e
+
+
+env = _make_env()                              # eval/selection: standard env
+train_env = (_make_env(args.train_block_speed)
+             if args.train_block_speed is not None else env)
 max_steps = env.max_episode_steps
 out_dir = pathlib.Path(args.out)
 out_dir.mkdir(parents=True, exist_ok=True)
@@ -132,7 +148,7 @@ for b in range(args.bursts):
     cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                     minibatch_size=args.mb, n_epochs=args.epochs,
                     gamma=args.gamma, lr=lr)
-    ppo = PPO(env, cfg)
+    ppo = PPO(train_env, cfg)
     key, kb = jax.random.split(key)
     ts = ppo.init(kb, params=best_params)
     spi = cfg.n_envs * cfg.n_steps
