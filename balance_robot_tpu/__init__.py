@@ -41,3 +41,29 @@ def _populate():
 
 
 _populate()
+
+
+def _enable_persistent_compile_cache():
+    """Persistent on-disk XLA/Mosaic compile cache.
+
+    The dev hosts are 1-vCPU: every fresh process otherwise pays the full
+    compile of the fused physics kernels (minutes).  Importing this package
+    already pulls in jax (the env modules), so configuring here covers every
+    tool/CLI entry point.  Opt out or redirect with BRT_COMPILE_CACHE
+    (0 disables; any other value is the cache dir)."""
+    import os
+    cache = os.environ.get("BRT_COMPILE_CACHE")
+    if cache == "0":
+        return
+    if not cache:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -63,14 +63,34 @@ ap.add_argument("--train-block-speed", type=float, default=None,
                      "Failure analysis shows losses are uniform random "
                      "block hits; overtraining the hit severity is the "
                      "robustness lever.")
+ap.add_argument("--train-block-delay", type=float, default=None,
+                help="domain hardening: shorter respawn delay -> more hits "
+                     "per episode, enriching the post-impact recovery "
+                     "regime in the rollout data without changing per-hit "
+                     "severity (selection/eval stays standard).")
+ap.add_argument("--train-back-frac", type=float, default=None,
+                help="P(attack side = back) for TRAINING env instances. "
+                     "Forensics (runs/forensics_best.log): back-side "
+                     "episodes survive 78.0%% vs front 91.7%% — rebalance "
+                     "the data toward the weak side (selection/eval stays "
+                     "the standard 50/50 per-instance draw).")
+ap.add_argument("--survival-reward", action="store_true",
+                help="train with reward = 1.0/alive-step instead of the "
+                     "reference balance reward. The reported metric IS "
+                     "full-horizon survival; the shaped reward's "
+                     "|pitch|/yaw terms can trade against aggressive "
+                     "recovery maneuvers at the margin (selection/eval "
+                     "stays on the standard env + reference reward).")
 args = ap.parse_args()
 
 
-def _make_env(block_speed=None):
+def _make_env(block_speed=None, block_delay=None):
     e = brt.make(args.env)
     e.use_fast_solver()
     if block_speed is not None:
         e.block_speed = block_speed
+    if block_delay is not None:
+        e.block_delay = block_delay
     if hasattr(e, "use_pallas_physics") and \
             jax.devices()[0].platform == "tpu":
         e.use_pallas_physics()
@@ -78,8 +98,31 @@ def _make_env(block_speed=None):
 
 
 env = _make_env()                              # eval/selection: standard env
-train_env = (_make_env(args.train_block_speed)
-             if args.train_block_speed is not None else env)
+_hardened = (args.train_block_speed is not None
+             or args.train_block_delay is not None
+             or args.train_back_frac is not None
+             or args.survival_reward)
+train_env = (_make_env(args.train_block_speed, args.train_block_delay)
+             if _hardened else env)
+if args.survival_reward or args.train_back_frac is not None:
+    import types
+
+    if args.survival_reward:
+        def _survival_reward(self, state, key):
+            return jnp.float32(1.0)
+
+        train_env._reward = types.MethodType(_survival_reward, train_env)
+
+    if args.train_back_frac is not None:
+        back_frac = args.train_back_frac
+        _orig_init_aux = type(train_env)._init_aux
+
+        def _biased_init_aux(self, key):
+            aux = _orig_init_aux(self, key)
+            aux["attack_front"] = jax.random.uniform(key) > back_frac
+            return aux
+
+        train_env._init_aux = types.MethodType(_biased_init_aux, train_env)
 max_steps = env.max_episode_steps
 out_dir = pathlib.Path(args.out)
 out_dir.mkdir(parents=True, exist_ok=True)
