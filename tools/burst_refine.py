@@ -81,6 +81,14 @@ ap.add_argument("--survival-reward", action="store_true",
                      "|pitch|/yaw terms can trade against aggressive "
                      "recovery maneuvers at the margin (selection/eval "
                      "stays on the standard env + reference reward).")
+ap.add_argument("--failure-replay", type=int, default=0,
+                help="harvest fatal pre-impact states from --init over this "
+                     "many episodes and mix them into TRAINING resets "
+                     "(prob --replay-frac). On-policy hard-state replay: "
+                     "the oracle probe shows 99%% of deaths are recoverable "
+                     "(runs/oracle_r1.log) — PPO just never samples the "
+                     "recovery regime densely enough.")
+ap.add_argument("--replay-frac", type=float, default=0.25)
 args = ap.parse_args()
 
 
@@ -101,7 +109,8 @@ env = _make_env()                              # eval/selection: standard env
 _hardened = (args.train_block_speed is not None
              or args.train_block_delay is not None
              or args.train_back_frac is not None
-             or args.survival_reward)
+             or args.survival_reward
+             or args.failure_replay > 0)
 train_env = (_make_env(args.train_block_speed, args.train_block_delay)
              if _hardened else env)
 if args.survival_reward or args.train_back_frac is not None:
@@ -126,6 +135,42 @@ if args.survival_reward or args.train_back_frac is not None:
 max_steps = env.max_episode_steps
 out_dir = pathlib.Path(args.out)
 out_dir.mkdir(parents=True, exist_ok=True)
+
+# -------------------------------------------------------- failure replay
+def _install_failure_replay(init_params):
+    """Patch train_env.reset: with prob --replay-frac start the episode
+    from a harvested fatal pre-impact state (fresh rng + t=0 so replays
+    diverge and get a full horizon; snapshots are post-launch, so the
+    block-delay machinery is in its fired state and self-consistent)."""
+    import types
+    from balance_robot_tpu.train.harvest import harvest_fatal_states
+
+    bank, info = harvest_fatal_states(
+        env, init_params, episodes=args.failure_replay,
+        seed=args.seed + 55)
+    print(f"[replay] bank: {info['n_bank']} fatal states from "
+          f"{info['episodes']} episodes (full-horizon "
+          f"{100 * info['full_rate']:.1f}%)", flush=True)
+    if info["n_bank"] == 0:
+        return
+    B = info["n_bank"]
+    frac = args.replay_frac
+    orig_reset = train_env.reset
+
+    def _replay_reset(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        state0, obs0 = orig_reset(k1)
+        i = jax.random.randint(k3, (), 0, B)
+        bs = jax.tree.map(lambda x: x[i], bank)
+        bs = bs._replace(key=k1, t=jnp.int32(0))
+        use = jax.random.uniform(k2) < frac
+        state = jax.tree.map(
+            lambda a, b: jnp.where(use, a, b), bs, state0)
+        obs, state = self._obs(state)
+        return state, obs
+
+    train_env.reset = types.MethodType(_replay_reset, train_env)
+
 
 # ---------------------------------------------------------------- eval
 CHUNK = 250
@@ -182,6 +227,8 @@ def big_eval(params):
 # ---------------------------------------------------------------- bursts
 t0 = time.time()
 best_params = ckpt.load(args.init)
+if args.failure_replay:
+    _install_failure_replay(best_params)
 score0 = big_eval(best_params)
 best = dict(score=score0[0], ret=score0[1], src=str(args.init))
 print(f"[burst] init {args.init}: full={100 * score0[0]:.1f}% "
