@@ -78,11 +78,13 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
             break
     _, _, _, lens, snap, snap_t, _ = carry
     lens = np.asarray(lens)
-    fatal = lens < max_steps - 1
+    # snap_t > 0 filters episodes that died before any launch (their snap
+    # is still the reset state, not a pre-impact state).
+    fatal = (lens < max_steps - 1) & (np.asarray(snap_t) > 0)
     idx = np.nonzero(fatal)[0][:max_states]
     bank = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), snap)
     info = dict(episodes=episodes, n_fatal=int(fatal.sum()),
                 n_bank=len(idx),
-                full_rate=float((~fatal).mean()),
+                full_rate=float((lens >= max_steps - 1).mean()),
                 death_dt=(lens[idx] - np.asarray(snap_t)[idx]))
     return bank, info
