@@ -137,29 +137,34 @@ out_dir = pathlib.Path(args.out)
 out_dir.mkdir(parents=True, exist_ok=True)
 
 # -------------------------------------------------------- failure replay
-def _install_failure_replay(init_params):
-    """Patch train_env.reset: with prob --replay-frac start the episode
-    from a harvested fatal pre-impact state (fresh rng + t=0 so replays
-    diverge and get a full horizon; snapshots are post-launch, so the
-    block-delay machinery is in its fired state and self-consistent)."""
+_orig_train_reset = train_env.reset        # bound before any patching
+
+
+def _install_failure_replay(cur_params, burst_seed):
+    """(Re)patch train_env.reset: with prob --replay-frac start the episode
+    from a fatal pre-impact state harvested from the CURRENT best policy
+    (fresh rng + t=0 so replays diverge and get a full horizon; snapshots
+    are post-launch, so the block-delay machinery is in its fired state and
+    self-consistent).  Called at the top of every burst — DAgger-style: the
+    bank tracks the failures the latest policy actually has."""
     import types
     from balance_robot_tpu.train.harvest import harvest_fatal_states
 
     bank, info = harvest_fatal_states(
-        env, init_params, episodes=args.failure_replay,
-        seed=args.seed + 55)
+        env, cur_params, episodes=args.failure_replay,
+        seed=args.seed + 55 + burst_seed)
     print(f"[replay] bank: {info['n_bank']} fatal states from "
           f"{info['episodes']} episodes (full-horizon "
           f"{100 * info['full_rate']:.1f}%)", flush=True)
     if info["n_bank"] == 0:
+        train_env.reset = _orig_train_reset
         return
     B = info["n_bank"]
     frac = args.replay_frac
-    orig_reset = train_env.reset
 
     def _replay_reset(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        state0, obs0 = orig_reset(k1)
+        state0, obs0 = _orig_train_reset(k1)
         i = jax.random.randint(k3, (), 0, B)
         bs = jax.tree.map(lambda x: x[i], bank)
         bs = bs._replace(key=k1, t=jnp.int32(0))
@@ -227,8 +232,6 @@ def big_eval(params):
 # ---------------------------------------------------------------- bursts
 t0 = time.time()
 best_params = ckpt.load(args.init)
-if args.failure_replay:
-    _install_failure_replay(best_params)
 score0 = big_eval(best_params)
 best = dict(score=score0[0], ret=score0[1], src=str(args.init))
 print(f"[burst] init {args.init}: full={100 * score0[0]:.1f}% "
@@ -241,6 +244,8 @@ for b in range(args.bursts):
     if time.time() - t0 > args.max_wall:
         print("[burst] wall budget reached", flush=True)
         break
+    if args.failure_replay:
+        _install_failure_replay(best_params, burst_seed=b)
     cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                     minibatch_size=args.mb, n_epochs=args.epochs,
                     gamma=args.gamma, lr=lr, ent_coef=args.ent_coef)
