@@ -406,13 +406,21 @@ def test_tflite_arduino(ctx, env_id, port):
 
     env = brt.make(env_id)
     ser = serial.Serial(port, 115200, timeout=1)
+    _run_episodes(env, _serial_act(ser), 1, env.max_episode_steps,
+                  show_io=True)
 
+
+def _serial_act(ser):
+    """CSV-over-serial policy: obs out, action line back (the reference's
+    MCU protocol, sb_rl.py:418-437). `ser` is any object with
+    write(bytes)/readline() — a pyserial port on hardware, a loopback in
+    tests."""
     def act(obs):
         ser.write((",".join(f"{v:.6f}" for v in obs) + "\n").encode())
         line = ser.readline().decode().strip()
         return np.array([float(x) for x in line.split(",")], np.float32)
 
-    _run_episodes(env, act, 1, env.max_episode_steps, show_io=True)
+    return act
 
 
 def main():

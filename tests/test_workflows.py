@@ -128,3 +128,34 @@ def test_cli_algorithms_match_factory():
     from balance_robot_tpu.train import factory
 
     assert tuple(cli.ALGORITHMS) == tuple(factory.IMPLEMENTED)
+
+
+def test_serial_act_protocol_roundtrip():
+    """The HIL serial protocol (obs CSV out at 6 decimals, action CSV line
+    back — reference sb_rl.py:418-437) exercised over a loopback transport:
+    the MCU side is simulated by echoing a function of the parsed obs."""
+    from balance_robot_tpu import cli
+
+    class Loopback:
+        def __init__(self):
+            self.sent = []
+
+        def write(self, data):
+            row = [float(x) for x in data.decode().strip().split(",")]
+            self.sent.append(row)
+            # fake MCU: action = [-obs[0], obs[1]] clipped
+            a = np.clip([-row[0], row[1]], -1, 1)
+            self._resp = (",".join(f"{v:.4f}" for v in a) + "\r\n").encode()
+
+        def readline(self):
+            return self._resp
+
+    ser = Loopback()
+    act = cli._serial_act(ser)
+    obs = np.array([0.5, -0.25, 0.125, 1.0, -1.0, 0.75], np.float32)
+    a = act(obs)
+    assert a.shape == (2,) and a.dtype == np.float32
+    assert np.allclose(a, [-0.5, -0.25], atol=1e-4)
+    # obs serialized at 6 decimals
+    assert len(ser.sent[0]) == 6
+    assert ser.sent[0] == pytest.approx(obs.tolist(), abs=1e-6)
