@@ -46,8 +46,13 @@ ap.add_argument("--env", default="Env03-v2")
 ap.add_argument("--episodes", type=int, default=512)
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--max-fatal", type=int, default=128)
-ap.add_argument("--plan-h", type=int, default=25,
+ap.add_argument("--plan-h", type=int, default=20,
                 help="CEM lookahead (control steps)")
+ap.add_argument("--tail-h", type=int, default=60,
+                help="policy-controlled tail appended to every plan "
+                     "rollout before scoring: a plan is only good if it "
+                     "hands off into a state the POLICY can continue from "
+                     "(that handoff is the thing BC must learn)")
 ap.add_argument("--exec-k", type=int, default=4,
                 help="steps executed per replan — the feedback interval")
 ap.add_argument("--pop", type=int, default=64)
@@ -64,7 +69,7 @@ env.use_fast_solver()
 if jax.devices()[0].platform == "tpu" and hasattr(env, "use_pallas_physics"):
     env.use_pallas_physics()
 params = ckpt.load(args.model)
-Hs, K, P = args.plan_h, args.exec_k, args.pop
+Hs, Ht, K, P = args.plan_h, args.tail_h, args.exec_k, args.pop
 
 # ------------------------------------------------------------------ harvest
 t0 = time.time()
@@ -81,20 +86,32 @@ fatal_states = bank
 
 
 # ---------------------------------------------------------------- rollouts
-def plan_score_rollout(state0, actions):
-    """Open-loop (Hs,2) plan evaluation: survival + terminal recovery."""
-    def body(carry, a):
-        state, alive, surv = carry
-        state2, obs, r, term, trunc = env.step(state, a)
+def plan_score_rollout(state0, obs0, actions):
+    """Plan evaluation: Hs open-loop steps, then a Ht-step POLICY tail.
+
+    Scoring the handoff is the point — a recovery maneuver only counts if
+    it ends in a state the policy itself can keep balancing from, because
+    the BC student will be exactly that policy plus the cloned maneuver."""
+    def body_plan(carry, a):
+        state, obs, alive, surv = carry
+        state2, obs2, r, term, trunc = env.step(state, a)
         sel = lambda A, B: jax.tree.map(
             lambda x, y: jnp.where(alive, x, y), A, B)
         state = sel(state2, state)
+        obs = jnp.where(alive, obs2, obs)
         surv = surv + alive.astype(jnp.int32)
         alive = alive & ~term
-        return (state, alive, surv), None
+        return (state, obs, alive, surv), None
 
-    (stateH, aliveH, surv), _ = jax.lax.scan(
-        body, (state0, jnp.asarray(True), jnp.int32(0)), actions)
+    def body_tail(carry, _):
+        state, obs, alive, surv = carry
+        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
+        return body_plan(carry, a)
+
+    carry = (state0, obs0, jnp.asarray(True), jnp.int32(0))
+    carry, _ = jax.lax.scan(body_plan, carry, actions)
+    (stateH, obsH, aliveH, surv), _ = jax.lax.scan(
+        body_tail, carry, None, length=Ht)
     qpos = jnp.stack(stateH.phys.qpos)
     qvel = jnp.stack(stateH.phys.qvel)
     pitchH = pitch_of(tuple(qpos))
@@ -105,9 +122,9 @@ def plan_score_rollout(state0, actions):
 
 
 @jax.jit
-def policy_plan(states):
+def policy_plan(states, obs):
     """Closed-loop policy rollout -> (F,Hs,2) initial CEM mean."""
-    def one(state0):
+    def one(state0, obs0):
         def body(carry, _):
             state, obs, alive = carry
             a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
@@ -119,21 +136,21 @@ def policy_plan(states):
             alive = alive & ~term
             return (state, obs, alive), a
 
-        obs0, _ = env._obs(state0)
         _, acts = jax.lax.scan(body, (state0, obs0, jnp.asarray(True)),
                                None, length=Hs)
         return acts
 
-    return jax.vmap(one)(states)
+    return jax.vmap(one)(states, obs)
 
 
 @jax.jit
-def cem_iter(states, mean, std, key):
+def cem_iter(states, obs, mean, std, key):
     eps = jax.random.normal(key, (F, P, Hs, 2))
     cand = jnp.clip(mean[:, None] + std[:, None] * eps, -1.0, 1.0)
     states_flat = jax.tree.map(lambda x: jnp.repeat(x, P, axis=0), states)
+    obs_flat = jnp.repeat(obs, P, axis=0)
     score = jax.vmap(plan_score_rollout)(
-        states_flat, cand.reshape(F * P, Hs, 2)).reshape(F, P)
+        states_flat, obs_flat, cand.reshape(F * P, Hs, 2)).reshape(F, P)
     k = max(1, int(P * args.elite_frac))
     elite_idx = jnp.argsort(-score, axis=1)[:, :k]
     elite = jnp.take_along_axis(cand, elite_idx[:, :, None, None], axis=1)
@@ -179,7 +196,7 @@ def shift_plan(mean, std):
 R = (args.replay_steps // K) * K
 obs, states = jax.jit(jax.vmap(env._obs))(fatal_states)
 alive = jnp.ones(F, bool)
-mean = policy_plan(states)
+mean = policy_plan(states, obs)
 std = jnp.full_like(mean, args.init_std)
 key = jax.random.PRNGKey(args.seed + 999)
 obs_rows, act_rows, alive_rows = [], [], []
@@ -187,7 +204,7 @@ t0 = time.time()
 for step in range(0, R, K):
     for _ in range(args.iters):
         key, k = jax.random.split(key)
-        mean, std = cem_iter(states, mean, std, k)
+        mean, std = cem_iter(states, obs, mean, std, k)
     states, obs, alive, obs_k, act_k, alive_k = exec_head(
         states, obs, alive, mean)
     mean, std = shift_plan(mean, std)
