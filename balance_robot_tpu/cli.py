@@ -44,8 +44,18 @@ def _default_model(env, algo):
               help="RL algorithm (native: PPO)")
 @click.option("-m", "--model", required=False, default=None,
               help="model file (warm start / inference)")
+@click.option("--platform", type=click.Choice(["tpu", "cpu"]), default=None,
+              help="force the JAX backend (cpu runs everywhere, e.g. when "
+                   "no accelerator is reachable; default: jax's own pick)")
 @click.pass_context
-def cli(ctx, algorithm, model):
+def cli(ctx, algorithm, model, platform):
+    if platform is not None:
+        # Must happen before any backend use; config.update (not the
+        # JAX_PLATFORMS env var) because the interpreter's sitecustomize
+        # hook has already imported jax by the time we run.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     algo = algorithm.upper()
     if algo not in ALGORITHMS:
         raise click.ClickException(

@@ -33,7 +33,13 @@ p.add_argument("--chunk", type=int, default=250)
 p.add_argument("--dump", default=None,
                help="npz path for per-episode (return, length, start pitch) "
                     "arrays — failure analysis of the non-surviving tail")
+p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+               help="force the JAX backend (config.update, not the env var: "
+                    "sitecustomize has already imported jax)")
 args = p.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 params = ckpt.load(args.model)
