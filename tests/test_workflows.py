@@ -123,6 +123,31 @@ def test_cli_record_every_flag_exposed():
     assert param.default == 10
 
 
+def test_cli_platform_override():
+    """--platform cpu forces the backend via jax.config.update from the
+    group callback, so the whole CLI surface runs on hosts where the TPU
+    tunnel is unreachable (the JAX_PLATFORMS env var is read too late:
+    sitecustomize imports jax before any user code runs)."""
+    import jax
+    from click.testing import CliRunner
+
+    from balance_robot_tpu import cli
+
+    param = {p.name: p for p in cli.cli.params}["platform"]
+    assert param.default is None          # default: jax's own backend pick
+
+    # Reset, then check the group callback (which runs before subcommand
+    # help) performs the update. Restore cpu for the rest of the suite.
+    jax.config.update("jax_platforms", "")
+    try:
+        res = CliRunner().invoke(
+            cli.cli, ["-a", "PPO", "--platform", "cpu", "test", "--help"])
+        assert res.exit_code == 0
+        assert jax.config.jax_platforms == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+
+
 def test_cli_algorithms_match_factory():
     from balance_robot_tpu import cli
     from balance_robot_tpu.train import factory
