@@ -35,7 +35,13 @@ p.add_argument("--episodes", type=int, default=512)
 p.add_argument("--seed", type=int, default=0)
 p.add_argument("--chunk", type=int, default=250)
 p.add_argument("--dump", default=None)
+p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+               help="force the JAX backend (config.update, not the env "
+                    "var: sitecustomize has already imported jax)")
 args = p.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 env.use_fast_solver()
