@@ -48,7 +48,28 @@ ap.add_argument("--lr", type=float, default=3e-4)
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--eval-episodes", type=int, default=512)
 ap.add_argument("--out", default="models/Env03-v2_dagger")
+ap.add_argument("--kl-anchor", action="store_true",
+                help="anchor in the policy's own action-distribution "
+                    "geometry: Gaussian KL(new||old) on anchor obs instead "
+                    "of raw mean-MSE. With the converged sigma ~0.03, KL is "
+                    "~1/(2*sigma^2) ~ 550x stronger per unit mean shift — "
+                    "the plain-MSE anchor that let the r2 clone collapse "
+                    "(docs/TRAINING.md negative result 3) was weak exactly "
+                    "where the PPO objective is stiff.")
+ap.add_argument("--eval-every", type=int, default=0,
+                help="run a selection eval every N clone steps and keep the "
+                    "best snapshot (burst_refine-style ratchet; 0 = off, "
+                    "report/save only the final params)")
+ap.add_argument("--select-episodes", type=int, default=128,
+                help="episodes per mid-clone selection eval (fixed keys -> "
+                    "paired comparisons; report the winner on a fresh seed)")
+ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                help="force the JAX backend (config.update, not the env "
+                    "var: sitecustomize has already imported jax)")
 args = ap.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 env.use_fast_solver()
@@ -136,7 +157,14 @@ def train_step(params, opt_state, key):
         pred = mlp.policy_mean(p, o)
         # per-set means so the report separates regression sources
         l_d = jnp.mean((pred[:n_d] - a[:n_d]) ** 2)
-        l_a = jnp.mean((pred[n_d:] - a[n_d:]) ** 2)
+        if args.kl_anchor:
+            # log_std is frozen during the clone, so KL(new||old) per
+            # anchor obs reduces to sum_d (d_mu_d)^2 / (2 sigma_d^2).
+            inv_2var = 0.5 * jnp.exp(-2.0 * params["log_std"])
+            l_a = jnp.mean(jnp.sum(
+                ((pred[n_d:] - a[n_d:]) ** 2) * inv_2var, axis=-1))
+        else:
+            l_a = jnp.mean((pred[n_d:] - a[n_d:]) ** 2)
         return (args.dagger_frac * l_d + (1 - args.dagger_frac) * l_a,
                 (l_d, l_a))
 
@@ -146,15 +174,7 @@ def train_step(params, opt_state, key):
     return optax.apply_updates(params, updates), opt_state, l_d, l_a
 
 
-key = jax.random.PRNGKey(args.seed)
-t0 = time.time()
-for i in range(args.steps):
-    key, k = jax.random.split(key)
-    params, opt_state, l_d, l_a = train_step(params, opt_state, k)
-    if i % 500 == 0 or i == args.steps - 1:
-        print(f"[bc {i:5d}] dagger-mse {float(l_d):.5f} "
-              f"anchor-mse {float(l_a):.5f}", flush=True)
-print(f"clone done ({time.time() - t0:.0f}s)", flush=True)
+# (clone loop runs below, after the eval helpers it selects with)
 
 # ------------------------------------------------------------------ eval
 @jax.jit
@@ -185,9 +205,9 @@ def _eval_chunk(params, carry):
     return carry
 
 
-def full_eval(p, seed):
+def full_eval(p, seed, episodes=None):
     carry = _eval_reset(jax.random.split(jax.random.PRNGKey(seed),
-                                         args.eval_episodes))
+                                         episodes or args.eval_episodes))
     steps = 0
     while steps < max_steps:
         carry = _eval_chunk(p, carry)
@@ -199,6 +219,37 @@ def full_eval(p, seed):
     return (float((lens >= max_steps - 1).mean()),
             float(np.asarray(ret).mean()), float(lens.mean()))
 
+
+# ----------------------------------------------------------------- clone
+key = jax.random.PRNGKey(args.seed)
+t0 = time.time()
+best = None                     # (full, ret, step, params) under paired keys
+if args.eval_every:
+    f0, r0, _ = full_eval(params, args.seed + 1, args.select_episodes)
+    best = (f0, r0, -1, params)
+    print(f"[bc  init] selection full={100 * f0:.1f}% ret={r0:.0f} "
+          f"({args.select_episodes} paired episodes)", flush=True)
+for i in range(args.steps):
+    key, k = jax.random.split(key)
+    params, opt_state, l_d, l_a = train_step(params, opt_state, k)
+    if i % 500 == 0 or i == args.steps - 1:
+        print(f"[bc {i:5d}] dagger-mse {float(l_d):.5f} "
+              f"anchor-{'kl' if args.kl_anchor else 'mse'} "
+              f"{float(l_a):.5f}", flush=True)
+    if args.eval_every and ((i + 1) % args.eval_every == 0
+                            or i == args.steps - 1):
+        f, r, _ = full_eval(params, args.seed + 1, args.select_episodes)
+        tag = ""
+        if (f, r) > (best[0], best[1]):
+            best = (f, r, i, params)
+            tag = "  <-- new best"
+        print(f"[bc {i:5d}] selection full={100 * f:.1f}% "
+              f"ret={r:.0f}{tag}", flush=True)
+if best is not None:
+    print(f"selection winner: step {best[2]} "
+          f"full={100 * best[0]:.1f}% ret={best[1]:.0f}", flush=True)
+    params = best[3]
+print(f"clone done ({time.time() - t0:.0f}s)", flush=True)
 
 full, ret, length = full_eval(params, args.seed)
 print(f"cloned policy: full={100 * full:.1f}% ret={ret:.0f} len={length:.0f}"
