@@ -7,6 +7,7 @@ Builds on demand with `make -C native` (g++ is in the image):
     in float32 (the ONNX Runtime C++ stand-in, sb_rl.py:211-220)."""
 
 import ctypes
+import hashlib
 import pathlib
 import subprocess
 
@@ -18,10 +19,21 @@ ONNX_LIB = NATIVE_DIR / "libonnx_runtime.so"
 
 
 def _make(lib_path, src_name):
+    """Build (or rebuild) the shared library from source.
+
+    Staleness is content-based: a sidecar records the sha256 of the .cc the
+    .so was built from.  mtime comparison is wrong for checked-out trees
+    (git gives .so and .cc equal mtimes, so an edited source would silently
+    keep executing the old binary); the .so files are build artifacts and
+    are not committed."""
     src = NATIVE_DIR / src_name
-    if not lib_path.exists() or lib_path.stat().st_mtime < src.stat().st_mtime:
+    stamp = NATIVE_DIR / (lib_path.name + ".srchash")
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    if (not lib_path.exists() or not stamp.exists()
+            or stamp.read_text().strip() != digest):
         subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
                        capture_output=True)
+        stamp.write_text(digest + "\n")
     return lib_path
 
 

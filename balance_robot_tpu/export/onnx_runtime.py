@@ -19,6 +19,7 @@ asserted by tests/test_onnx.py (atol 1e-6).
 
 import pathlib
 import struct
+import subprocess
 
 import numpy as np
 
@@ -288,17 +289,27 @@ def _op_reshape(node, data, shape):
     return data.reshape(shape)
 
 
-def _op_unsqueeze(node, data):
+def _op_unsqueeze(node, data, axes=None):
+    # opset <= 12: axes attribute; opset >= 13: axes as a second input.
+    if axes is None:
+        if "axes" not in node["attrs"]:
+            raise OnnxValidationError("Unsqueeze without axes (attr or input)")
+        axes = node["attrs"]["axes"]
+    axes = [int(a) for a in np.asarray(axes).reshape(-1)]
+    rank = data.ndim + len(axes)          # negative axes are vs OUTPUT rank
     out = data
-    for ax in sorted(node["attrs"]["axes"]):
-        out = np.expand_dims(out, int(ax))
+    for ax in sorted(a % rank for a in axes):
+        out = np.expand_dims(out, ax)
     return out
 
 
-def _op_squeeze(node, data):
-    axes = node["attrs"].get("axes")
+def _op_squeeze(node, data, axes=None):
+    # opset <= 12: axes attribute; opset >= 13: optional second input.
+    if axes is None:
+        axes = node["attrs"].get("axes")
     return (np.squeeze(data) if axes is None
-            else np.squeeze(data, tuple(int(a) for a in axes)))
+            else np.squeeze(data, tuple(int(a) % data.ndim
+                                        for a in np.asarray(axes).reshape(-1))))
 
 
 def _op_constant(node):
@@ -416,7 +427,8 @@ def session(path):
     try:
         from .native_runtime import NativeOnnxSession
         return NativeOnnxSession(path)
-    except (OSError, RuntimeError, ValueError, ImportError) as e:
+    except (OSError, RuntimeError, ValueError, ImportError,
+            subprocess.SubprocessError) as e:
         # no toolchain / build failure -> pure-python leg
         import sys
         print(f"native ONNX runtime unavailable ({e}); using the numpy "

@@ -33,17 +33,22 @@ _initialized = False
 # Environment signals that this process is one host of a multi-host job.
 # TPU pod slices export the worker topology; explicit coordinator vars cover
 # manual / GPU-style launches.  BRT_MULTIHOST=1 forces the call (e.g. for
-# tests or nonstandard launchers).
-_MULTIHOST_VARS = (
-    "BRT_MULTIHOST",
+# tests or nonstandard launchers); BRT_MULTIHOST=0 explicitly disables it
+# (same convention as BRT_COMPILE_CACHE).
+_COORDINATOR_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
 )
 
+_FALSEY = ("", "0", "false", "no")
+
 
 def _multihost_environment():
-    if any(os.environ.get(v) for v in _MULTIHOST_VARS):
+    forced = os.environ.get("BRT_MULTIHOST")
+    if forced is not None:
+        return forced.strip().lower() not in _FALSEY
+    if any(os.environ.get(v) for v in _COORDINATOR_VARS):
         return True
     # TPU runtime: TPU_WORKER_HOSTNAMES lists every host of the slice.
     hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")

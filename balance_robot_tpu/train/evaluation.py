@@ -32,9 +32,10 @@ class ChunkedEvaluator:
 
     CHUNK = 250
 
-    def __init__(self, env, act_fn):
+    def __init__(self, env, act_fn, chunk=None):
         self.env = env
         self.act_fn = act_fn
+        self.chunk = int(chunk or self.CHUNK)
 
     # ------------------------------------------------------- batched eval
     @partial(jax.jit, static_argnums=0)
@@ -61,22 +62,29 @@ class ChunkedEvaluator:
             done = done | term | trunc
             return (states, obs, ret, done, t), None
 
-        carry, _ = jax.lax.scan(body, carry, None, length=self.CHUNK)
+        carry, _ = jax.lax.scan(body, carry, None, length=self.chunk)
         return carry
 
-    def evaluate(self, params, n_episodes: int, key, max_steps=None):
-        """Mean (return, episode length) over n deterministic episodes."""
+    def evaluate_detail(self, params, keys, max_steps=None):
+        """Per-episode (returns, lengths) numpy arrays for an explicit key
+        batch — fixed keys make selection evals paired (common-mode noise
+        cancels across checkpoints, see tools/sweep_checkpoints.py)."""
         max_steps = max_steps or self.env.max_episode_steps
-        keys = jax.random.split(key, n_episodes)
         carry = self._reset(keys)
         steps = 0
         while steps < max_steps:
             carry = self._chunk(params, carry)
-            steps += self.CHUNK
+            steps += self.chunk
             if bool(carry[3].all()):
                 break
         _, _, rets, _, lens = carry
-        return rets.mean(), lens.astype(jnp.float32).mean()
+        return np.asarray(rets), np.asarray(lens)
+
+    def evaluate(self, params, n_episodes: int, key, max_steps=None):
+        """Mean (return, episode length) over n deterministic episodes."""
+        rets, lens = self.evaluate_detail(
+            params, jax.random.split(key, n_episodes), max_steps)
+        return rets.mean(), lens.astype(np.float32).mean()
 
     # -------------------------------------------- single-episode recording
     @partial(jax.jit, static_argnums=0)
@@ -97,7 +105,7 @@ class ChunkedEvaluator:
             qpos = jnp.stack(state.phys.qpos)
             return (state, obs, done | term | trunc), (qpos, done)
 
-        return jax.lax.scan(body, carry, None, length=self.CHUNK)
+        return jax.lax.scan(body, carry, None, length=self.chunk)
 
     def record(self, params, key, max_steps=None):
         """One deterministic episode as a (T, nq) qpos trajectory + length,
@@ -111,7 +119,7 @@ class ChunkedEvaluator:
             carry, (qpos, done_prestep) = self._record_chunk(params, carry)
             qpos_chunks.append(np.asarray(qpos))
             alive.append(np.asarray(~done_prestep))
-            steps += self.CHUNK
+            steps += self.chunk
             if bool(carry[2]):
                 break
         qpos = np.concatenate(qpos_chunks)[:max_steps]

@@ -33,8 +33,11 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
                          max_states=512):
     """Returns (bank, info): `bank` is a stacked EnvState pytree of fatal
     pre-impact snapshots (leading axis = state index), `info` a dict with
-    the harvest's full-horizon rate and counts.  Env must be an Env03-family
-    env (14-dof state with the block at qpos[9:16])."""
+    the harvest's full-horizon rate and counts plus `info["obs"]`, the
+    (N, 6) observation emitted by each snapshot's own step (the fd
+    pitch_dot cannot be recomputed from the bare state — see the comment at
+    the snap_obs update).  Env must be an Env03-family env (14-dof state
+    with the block at qpos[9:16])."""
     max_steps = env.max_episode_steps
 
     @jax.jit
@@ -42,12 +45,12 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
         states, obs = jax.vmap(env.reset)(keys)
         n = keys.shape[0]
         return (states, obs, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
-                states, jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+                states, obs, jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
 
     @jax.jit
     def harvest_chunk(carry):
         def body(carry, _):
-            states, obs, done, t, snap, snap_t, prev_parked = carry
+            states, obs, done, t, snap, snap_obs, snap_t, prev_parked = carry
             a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
             states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
             alive = ~done
@@ -57,13 +60,20 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
                 lambda x, y: jnp.where(
                     m.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
             snap = sel(fired, states2, snap)
+            # Bank the obs EMITTED by the snapshot step: the fd pitch_dot in
+            # a recomputed env._obs(snap) sees dt == t - last_t == 0 and
+            # returns 0 while the robot is actually pitching — consumers
+            # (CEM expert warm start, BC pairs) must use this obs, never
+            # recompute it.
+            snap_obs = jnp.where(fired[:, None], obs2, snap_obs)
             snap_t = jnp.where(fired, t + 1, snap_t)
             states = sel(alive, states2, states)
             obs = jnp.where(alive[:, None], obs2, obs)
             t = t + alive.astype(jnp.int32)
             done = done | term | trunc
             prev_parked = jnp.where(alive, d2 > 2.0, prev_parked)
-            return (states, obs, done, t, snap, snap_t, prev_parked), None
+            return (states, obs, done, t, snap, snap_obs, snap_t,
+                    prev_parked), None
 
         carry, _ = jax.lax.scan(body, carry, None, length=chunk)
         return carry
@@ -76,15 +86,21 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
         steps += chunk
         if bool(carry[2].all()):
             break
-    _, _, _, lens, snap, snap_t, _ = carry
+    _, _, _, lens, snap, snap_obs, snap_t, _ = carry
     lens = np.asarray(lens)
-    # snap_t > 0 filters episodes that died before any launch (their snap
-    # is still the reset state, not a pre-impact state).
+    # snap_t > 0 keeps only episodes that died after a RESPAWN launch.
+    # Reset itself fires the first block (env03.py reset), so snap_t == 0
+    # means the episode died to the reset-fired block — but at snap_t == 0
+    # a block-caused death is indistinguishable from an unrecoverable reset
+    # draw (~13% of scrambled-quat starts are beyond the 50° bound), so
+    # those episodes are conservatively excluded to keep the bank free of
+    # states no policy could survive (deliberate: commit 90a8a81).
     fatal = (lens < max_steps - 1) & (np.asarray(snap_t) > 0)
     idx = np.nonzero(fatal)[0][:max_states]
     bank = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), snap)
     info = dict(episodes=episodes, n_fatal=int(fatal.sum()),
                 n_bank=len(idx),
                 full_rate=float((lens >= max_steps - 1).mean()),
-                death_dt=(lens[idx] - np.asarray(snap_t)[idx]))
+                death_dt=(lens[idx] - np.asarray(snap_t)[idx]),
+                obs=jnp.asarray(np.asarray(snap_obs)[idx]))
     return bank, info

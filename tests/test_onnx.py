@@ -80,6 +80,38 @@ def test_checker_rejects_corrupt_graph(exported):
                                                   // 2])
 
 
+def test_opset13_axes_as_input():
+    """opset >= 13 moves Unsqueeze/Squeeze axes from an attribute to a
+    second input; the checker admits opsets up to 17, so the executor must
+    run that form (a checked-then-KeyError crash is a contract violation)."""
+    from balance_robot_tpu.export import onnx_writer as w
+
+    data = np.arange(6, dtype=np.float32).reshape(2, 3)
+    inits = [w._tensor("data", data),
+             w._tensor("axes", np.asarray([0.0], np.float32))]
+    nodes = [w._node("Unsqueeze", ["data", "axes"], ["u"], "unsq"),
+             w._node("Squeeze", ["u", "axes"], ["out"], "sq")]
+    graph = b"".join(w._ld(1, n) for n in nodes)
+    graph += w._string(2, "opset13_axes")
+    graph += b"".join(w._ld(5, t) for t in inits)
+    graph += w._ld(12, w._value_info("out", (2, 3)))
+    opset = w._string(1, "") + w._int(2, 13)
+    model_bytes = (w._int(1, 7) + w._string(2, "test")
+                   + w._ld(7, graph) + w._ld(8, opset))
+
+    sess = onnx_runtime.NumpySession(model_bytes)
+    (out,) = sess.run(["out"], {})
+    np.testing.assert_array_equal(out, data)
+
+    # negative axes are relative to the OUTPUT rank (opset 13 semantics)
+    node = {"op_type": "Unsqueeze", "attrs": {}}
+    u = onnx_runtime._op_unsqueeze(node, data, np.asarray([-1]))
+    assert u.shape == (2, 3, 1)
+    # opset <= 12 Unsqueeze with no axes anywhere -> clean validation error
+    with pytest.raises(onnx_runtime.OnnxValidationError, match="axes"):
+        onnx_runtime._op_unsqueeze(node, data)
+
+
 def test_session_episode_loop(exported):
     """The test-onnx leg end-to-end: session drives a short env rollout
     (the reference's episode loop, sb_rl.py:214-230)."""

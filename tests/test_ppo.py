@@ -122,8 +122,17 @@ def test_offpolicy_trainers():
         assert np.isfinite(float(m["critic_loss"]))
         assert all(bool(jnp.isfinite(x).all())
                    for x in jax.tree.leaves(ts.params)), algo
-        # the chunked eval path is shared (train/evaluation.py); compiling
-        # it once (SAC) covers all three act fns' wiring
+        # the chunked rollout machinery is shared (train/evaluation.py), so
+        # one full evaluate (SAC) covers it; the per-algorithm DETERMINISTIC
+        # act branch differs (SAC tanh-mean vs TD3/DDPG actor w/o noise) and
+        # is exercised directly for all three without paying three rollout
+        # compiles.
+        obs_batch = jnp.zeros((3, 6), jnp.float32).at[:, 0].set(
+            jnp.array([-0.5, 0.0, 0.5]))
+        a_det = tr._act(ts.params, obs_batch, None, deterministic=True)
+        assert a_det.shape == (3, 2), algo
+        assert bool(jnp.isfinite(a_det).all()), algo
+        assert bool((jnp.abs(a_det) <= 1.0).all()), algo
         if algo == "SAC":
             r, L = tr.evaluate(ts.params, 2, jax.random.PRNGKey(1),
                                max_steps=250)

@@ -149,3 +149,29 @@ print("SINGLE_HOST_OK")
     out = subprocess.run([sys.executable, "-c", script],
                          capture_output=True, text=True)
     assert "SINGLE_HOST_OK" in out.stdout, out.stderr
+
+
+def test_distributed_explicit_disable():
+    """BRT_MULTIHOST=0 explicitly disables the coordinator handshake even
+    when cluster env vars are present (same 0-disables convention as
+    BRT_COMPILE_CACHE; '0' used to be truthy and force a hang)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["BRT_MULTIHOST"] = "0"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "10.0.0.1:8476"
+import jax
+jax.config.update("jax_platforms", "cpu")
+called = []
+jax.distributed.initialize = lambda **kw: called.append(kw)
+from balance_robot_tpu.parallel import distributed
+distributed.initialize()
+assert not called, "BRT_MULTIHOST=0 must disable the handshake"
+assert distributed.is_initialized()
+print("DISABLE_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True)
+    assert "DISABLE_OK" in out.stdout, out.stderr

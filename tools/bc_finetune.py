@@ -31,6 +31,7 @@ import optax
 import balance_robot_tpu as brt
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train import checkpoint as ckpt
+from balance_robot_tpu.train import evaluation
 
 ap = argparse.ArgumentParser()
 ap.add_argument("model")
@@ -177,47 +178,17 @@ def train_step(params, opt_state, key):
 # (clone loop runs below, after the eval helpers it selects with)
 
 # ------------------------------------------------------------------ eval
-@jax.jit
-def _eval_reset(keys):
-    states, obs = jax.vmap(env.reset)(keys)
-    n = keys.shape[0]
-    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
-            jnp.zeros(n, jnp.int32))
-
-
-@jax.jit
-def _eval_chunk(params, carry):
-    def body(carry, _):
-        states, obs, ret, done, t = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
-        keep = lambda A, B: jax.tree.map(
-            lambda x, y: jnp.where(
-                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
-        states = keep(states, states2)
-        obs = keep(obs, obs2)
-        ret = ret + jnp.where(done, 0.0, r)
-        t = t + (~done).astype(jnp.int32)
-        done = done | term | trunc
-        return (states, obs, ret, done, t), None
-
-    carry, _ = jax.lax.scan(body, carry, None, length=CHUNK)
-    return carry
+# One owner for the watchdog-critical chunked rollout (train/evaluation.py).
+_evaluator = evaluation.ChunkedEvaluator(
+    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
 
 
 def full_eval(p, seed, episodes=None):
-    carry = _eval_reset(jax.random.split(jax.random.PRNGKey(seed),
-                                         episodes or args.eval_episodes))
-    steps = 0
-    while steps < max_steps:
-        carry = _eval_chunk(p, carry)
-        steps += CHUNK
-        if bool(carry[3].all()):
-            break
-    _, _, ret, _, lens = carry
-    lens = np.asarray(lens)
+    ret, lens = _evaluator.evaluate_detail(
+        p, jax.random.split(jax.random.PRNGKey(seed),
+                            episodes or args.eval_episodes))
     return (float((lens >= max_steps - 1).mean()),
-            float(np.asarray(ret).mean()), float(lens.mean()))
+            float(ret.mean()), float(lens.mean()))
 
 
 # ----------------------------------------------------------------- clone

@@ -31,6 +31,7 @@ import balance_robot_tpu as brt
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train.ppo import PPO, PPOConfig
 from balance_robot_tpu.train import checkpoint as ckpt
+from balance_robot_tpu.train import evaluation
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--env", default="Env03-v2")
@@ -89,7 +90,13 @@ ap.add_argument("--failure-replay", type=int, default=0,
                      "(runs/oracle_r1.log) — PPO just never samples the "
                      "recovery regime densely enough.")
 ap.add_argument("--replay-frac", type=float, default=0.25)
+ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                help="force the JAX backend (config.update, not the env var: "
+                     "sitecustomize has already imported jax)")
 args = ap.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 
 def _make_env(block_speed=None, block_delay=None):
@@ -178,36 +185,9 @@ def _install_failure_replay(cur_params, burst_seed):
 
 
 # ---------------------------------------------------------------- eval
-CHUNK = 250
-
-
-@jax.jit
-def _reset_all(keys):
-    states, obs = jax.vmap(env.reset)(keys)
-    n = keys.shape[0]
-    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
-            jnp.zeros(n, jnp.int32))
-
-
-@jax.jit
-def _chunk(params, carry):
-    def body(carry, _):
-        states, obs, ret, done, t = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
-        keep = lambda A, B: jax.tree.map(
-            lambda x, y: jnp.where(
-                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
-        states = keep(states, states2)
-        obs = keep(obs, obs2)
-        ret = ret + jnp.where(done, 0.0, r)
-        t = t + (~done).astype(jnp.int32)
-        done = done | term | trunc
-        return (states, obs, ret, done, t), None
-
-    carry, _ = jax.lax.scan(body, carry, None, length=CHUNK)
-    return carry
-
+# One owner for the watchdog-critical chunked rollout (train/evaluation.py).
+_evaluator = evaluation.ChunkedEvaluator(
+    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
 
 EVAL_KEYS = jax.random.split(jax.random.PRNGKey(args.seed),
                              args.eval_episodes)
@@ -216,17 +196,9 @@ EVAL_KEYS = jax.random.split(jax.random.PRNGKey(args.seed),
 def big_eval(params):
     """(full_horizon_rate, mean_return, mean_len) on the FIXED key set —
     paired across snapshots so selection noise is mostly common-mode."""
-    carry = _reset_all(EVAL_KEYS)
-    steps = 0
-    while steps < max_steps:
-        carry = _chunk(params, carry)
-        steps += CHUNK
-        if bool(carry[3].all()):
-            break
-    _, _, ret, _, lens = carry
-    lens = np.asarray(lens)
+    ret, lens = _evaluator.evaluate_detail(params, EVAL_KEYS)
     return (float((lens >= max_steps - 1).mean()),
-            float(np.asarray(ret).mean()), float(lens.mean()))
+            float(ret.mean()), float(lens.mean()))
 
 
 # ---------------------------------------------------------------- bursts
@@ -239,17 +211,28 @@ print(f"[burst] init {args.init}: full={100 * score0[0]:.1f}% "
 
 lr = args.lr
 history = []
+_ppo_cache = {}
 key = jax.random.PRNGKey(args.seed + 100)
 for b in range(args.bursts):
     if time.time() - t0 > args.max_wall:
         print("[burst] wall budget reached", flush=True)
         break
-    if args.failure_replay:
-        _install_failure_replay(best_params, burst_seed=b)
     cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                     minibatch_size=args.mb, n_epochs=args.epochs,
                     gamma=args.gamma, lr=lr, ent_coef=args.ent_coef)
-    ppo = PPO(train_env, cfg)
+    if args.failure_replay:
+        # The replay bank swaps train_env.reset each burst, so the jitted
+        # iteration MUST be retraced (it closes over reset at trace time).
+        _install_failure_replay(best_params, burst_seed=b)
+        ppo = PPO(train_env, cfg)
+    else:
+        # Reuse one PPO per lr: PPO.iteration jits with static self, so a
+        # fresh instance per burst would re-trace (and on cache miss
+        # re-compile) an identical program every burst.  cfg only varies
+        # in lr across bursts.
+        ppo = _ppo_cache.get(lr)
+        if ppo is None:
+            ppo = _ppo_cache[lr] = PPO(train_env, cfg)
     key, kb = jax.random.split(key)
     ts = ppo.init(kb, params=best_params)
     spi = cfg.n_envs * cfg.n_steps

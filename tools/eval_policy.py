@@ -23,6 +23,7 @@ import balance_robot_tpu as brt
 from balance_robot_tpu.envs.base import pitch_of, TERMINATE_PITCH
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train import checkpoint as ckpt
+from balance_robot_tpu.train import evaluation
 
 p = argparse.ArgumentParser()
 p.add_argument("model")
@@ -46,47 +47,23 @@ params = ckpt.load(args.model)
 max_steps = env.max_episode_steps
 
 
-@jax.jit
-def reset_all(keys):
-    states, obs = jax.vmap(env.reset)(keys)
-    p0 = jax.vmap(lambda s: pitch_of(s.phys.qpos))(states)
-    n = keys.shape[0]
-    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
-            jnp.zeros(n, jnp.int32)), p0
+# One owner for the watchdog-critical chunked rollout (train/evaluation.py).
+_evaluator = evaluation.ChunkedEvaluator(
+    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0),
+    chunk=args.chunk)
 
 
 @jax.jit
-def chunk(carry):
-    def body(carry, _):
-        states, obs, ret, done, t = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
-        keep = lambda A, B: jax.tree.map(
-            lambda x, y: jnp.where(
-                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
-        states = keep(states, states2)
-        obs = keep(obs, obs2)
-        ret = ret + jnp.where(done, 0.0, r)
-        t = t + (~done).astype(jnp.int32)
-        done = done | term | trunc
-        return (states, obs, ret, done, t), None
-
-    carry, _ = jax.lax.scan(body, carry, None, length=args.chunk)
-    return carry
+def start_pitches(keys):
+    # env.reset is pure: re-resetting with the same keys reproduces the
+    # evaluator's start states exactly.
+    states, _ = jax.vmap(env.reset)(keys)
+    return jax.vmap(lambda s: pitch_of(s.phys.qpos))(states)
 
 
 keys = jax.random.split(jax.random.PRNGKey(args.seed), args.episodes)
-carry, p0 = reset_all(keys)
-steps = 0
-while steps < max_steps:
-    carry = chunk(carry)
-    steps += args.chunk
-    if bool(carry[3].all()):
-        break
-
-_, _, ret, _, lens = carry
-ret = np.asarray(ret)
-lens = np.asarray(lens)
+p0 = start_pitches(keys)
+ret, lens = _evaluator.evaluate_detail(params, keys)
 recoverable = np.abs(np.asarray(p0)) < TERMINATE_PITCH
 if args.dump:
     np.savez(args.dump, ret=ret, lens=lens, p0=np.asarray(p0),

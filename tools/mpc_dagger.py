@@ -194,7 +194,10 @@ def shift_plan(mean, std):
 
 # -------------------------------------------------------------- MPC replay
 R = (args.replay_steps // K) * K
-obs, states = jax.jit(jax.vmap(env._obs))(fatal_states)
+# The banked obs from the snapshot's own step — recomputing env._obs on the
+# bare state gives fd pitch_dot = 0 (dt == 0) mid-incident.  The state keeps
+# its last_pitch/last_t carry, exactly as a live rollout would.
+obs, states = info["obs"], fatal_states
 alive = jnp.ones(F, bool)
 mean = policy_plan(states, obs)
 std = jnp.full_like(mean, args.init_std)

@@ -34,9 +34,10 @@ import jax
 import jax.numpy as jnp
 
 import balance_robot_tpu as brt
-from balance_robot_tpu.envs.base import pitch_of, TERMINATE_PITCH
+from balance_robot_tpu.envs.base import pitch_of
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train import checkpoint as ckpt
+from balance_robot_tpu.train.harvest import harvest_fatal_states
 
 ap = argparse.ArgumentParser()
 ap.add_argument("model")
@@ -61,74 +62,25 @@ env.use_fast_solver()
 if jax.devices()[0].platform == "tpu" and hasattr(env, "use_pallas_physics"):
     env.use_pallas_physics()
 params = ckpt.load(args.model)
-max_steps = env.max_episode_steps
 H = args.horizon
 
 
-def block_dist(state):
-    q = jnp.stack(state.phys.qpos)
-    return jnp.linalg.norm(q[9:11] - q[0:2])
-
-
 # ------------------------------------------------------------------ harvest
-@jax.jit
-def reset_all(keys):
-    states, obs = jax.vmap(env.reset)(keys)
-    n = keys.shape[0]
-    return (states, obs, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
-            states,                       # snap: state at last launch
-            jnp.zeros(n, jnp.int32),      # snap_t
-            jnp.zeros(n, bool))           # prev_parked
-
-
-@jax.jit
-def harvest_chunk(carry):
-    def body(carry, _):
-        states, obs, done, t, snap, snap_t, prev_parked = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
-        alive = ~done
-        d2 = jax.vmap(block_dist)(states2)
-        fired = prev_parked & (d2 < 0.5) & alive
-        sel = lambda m, A, B: jax.tree.map(
-            lambda x, y: jnp.where(
-                m.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
-        snap = sel(fired, states2, snap)
-        snap_t = jnp.where(fired, t + 1, snap_t)
-        states = sel(alive, states2, states)
-        obs = jnp.where(alive[:, None], obs2, obs)
-        t = t + alive.astype(jnp.int32)
-        done = done | term | trunc
-        prev_parked = jnp.where(alive, d2 > 2.0, prev_parked)
-        return (states, obs, done, t, snap, snap_t, prev_parked), None
-
-    carry, _ = jax.lax.scan(body, carry, None, length=args.chunk)
-    return carry
-
-
-keys = jax.random.split(jax.random.PRNGKey(args.seed), args.episodes)
-carry = reset_all(keys)
-steps = 0
-while steps < max_steps:
-    carry = harvest_chunk(carry)
-    steps += args.chunk
-    if bool(carry[2].all()):
-        break
-_, _, _, lens, snap, snap_t, _ = carry
-lens = np.asarray(lens)
-fatal = lens < max_steps - 1
-n_fatal = int(fatal.sum())
+# Shared with burst_refine/mpc_dagger (train/harvest.py): one owner for the
+# launch-detection + snap_t>0 bank semantics.  info["obs"] is the obs each
+# snapshot's own step emitted — the fd pitch_dot cannot be recomputed.
+fatal_states, info = harvest_fatal_states(
+    env, params, episodes=args.episodes, seed=args.seed, chunk=args.chunk,
+    max_states=args.max_fatal)
 print(f"harvest: {args.episodes} episodes, full-horizon "
-      f"{100 * (~fatal).mean():.1f}%, fatal launches {n_fatal}", flush=True)
-if n_fatal == 0:
+      f"{100 * info['full_rate']:.1f}%, fatal launches {info['n_fatal']}",
+      flush=True)
+if info["n_bank"] == 0:
     print("no failures to probe")
     sys.exit(0)
-
-idx = np.nonzero(fatal)[0][:args.max_fatal]
-F = len(idx)
-take = lambda A: jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), A)
-fatal_states = take(snap)
-death_dt = np.asarray(lens)[idx] - np.asarray(snap_t)[idx]
+F = info["n_bank"]
+fatal_obs = jnp.asarray(info["obs"])
+death_dt = info["death_dt"]
 print(f"probing F={F} fatal states (policy died {np.median(death_dt):.0f} "
       f"steps after launch, median)", flush=True)
 
@@ -162,8 +114,11 @@ def seq_rollout(state0, actions):
     return surv, recovered, score, obs_traj
 
 
-def policy_rollout(state0):
-    """Closed-loop policy actions from state0 — CEM's initial mean."""
+def policy_rollout(state0, obs0):
+    """Closed-loop policy actions from (state0, obs0) — CEM's initial mean.
+
+    obs0 is the banked snapshot-step obs (fd pitch_dot is stateful and
+    cannot be recomputed from the bare state)."""
     def body(carry, _):
         state, obs, alive = carry
         a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
@@ -175,15 +130,14 @@ def policy_rollout(state0):
         alive = alive & ~term
         return (state, obs, alive), a
 
-    obs0, _ = env._obs(state0)
     (_, _, _), acts = jax.lax.scan(
         body, (state0, obs0, jnp.asarray(True)), None, length=H)
     return acts
 
 
 @jax.jit
-def cem_init_mean(states):
-    return jax.vmap(policy_rollout)(states)          # (F,H,2)
+def cem_init_mean(states, obs):
+    return jax.vmap(policy_rollout)(states, obs)     # (F,H,2)
 
 
 @jax.jit
@@ -226,7 +180,7 @@ def eval_mean(states, mean):
     return surv, rec, score, obs_traj
 
 
-mean = cem_init_mean(fatal_states)
+mean = cem_init_mean(fatal_states, fatal_obs)
 std = jnp.full_like(mean, args.init_std)
 key = jax.random.PRNGKey(args.seed + 999)
 rec_union = np.zeros(F, bool)
@@ -261,9 +215,9 @@ if args.dump_dagger:
     # induced closed-form stream from replaying them.
     m = rec
     # seq_rollout's obs stream is POST-step: obs_traj[t] follows act[t].
-    # BC inputs must be the pre-action obs -> shift right, prepend obs0.
-    obs0 = np.asarray(jax.jit(jax.vmap(
-        lambda s: env._obs(s)[0]))(fatal_states))     # (F,6)
+    # BC inputs must be the pre-action obs -> shift right, prepend the
+    # banked snapshot-step obs (never recomputed: fd pitch_dot is stateful).
+    obs0 = np.asarray(fatal_obs)                       # (F,6)
     post = np.asarray(obs_traj)                        # (F,H,6)
     pre = np.concatenate([obs0[:, None], post[:, :-1]], axis=1)
     obs_np = pre[m]                       # (R,H,6)

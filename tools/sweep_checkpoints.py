@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import balance_robot_tpu as brt
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train import checkpoint as ckpt
+from balance_robot_tpu.train import evaluation
 
 ap = argparse.ArgumentParser()
 ap.add_argument("run_dir")
@@ -47,44 +48,16 @@ if hasattr(env, "use_pallas_physics") and \
 max_steps = env.max_episode_steps
 
 
-@jax.jit
-def reset_all(keys):
-    states, obs = jax.vmap(env.reset)(keys)
-    n = keys.shape[0]
-    return (states, obs, jnp.zeros(n), jnp.zeros(n, bool),
-            jnp.zeros(n, jnp.int32))
-
-
-@jax.jit
-def chunk(params, carry):
-    def body(carry, _):
-        states, obs, ret, done, t = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1.0, 1.0)
-        states2, obs2, r, term, trunc = jax.vmap(env.step)(states, a)
-        keep = lambda A, B: jax.tree.map(
-            lambda x, y: jnp.where(
-                done.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), A, B)
-        states = keep(states, states2)
-        obs = keep(obs, obs2)
-        ret = ret + jnp.where(done, 0.0, r)
-        t = t + (~done).astype(jnp.int32)
-        done = done | term | trunc
-        return (states, obs, ret, done, t), None
-
-    carry, _ = jax.lax.scan(body, carry, None, length=args.chunk)
-    return carry
+# One owner for the watchdog-critical chunked rollout (train/evaluation.py);
+# the chunk kernel takes params as an argument, so every checkpoint shares
+# one compile.
+_evaluator = evaluation.ChunkedEvaluator(
+    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0),
+    chunk=args.chunk)
 
 
 def evaluate(params, keys):
-    carry = reset_all(keys)
-    steps = 0
-    while steps < max_steps:
-        carry = chunk(params, carry)
-        steps += args.chunk
-        if bool(carry[3].all()):
-            break
-    _, _, ret, _, lens = carry
-    return np.asarray(ret), np.asarray(lens)
+    return _evaluator.evaluate_detail(params, keys)
 
 
 run = pathlib.Path(args.run_dir)
