@@ -36,7 +36,41 @@ N_STEPS = 25        # control steps per timed scan
 REPEATS = 4
 
 
+def _require_live_backend(timeout_s=90.0):
+    """Fail fast if the TPU tunnel is dead instead of hanging forever.
+
+    The axon relay can die between rounds (observed 2026-08-17); with it
+    down, the first backend-touching call blocks indefinitely and a driver
+    running `python bench.py` with no timeout would stall.  Probe device
+    init on a daemon thread and exit(1) with a diagnostic if it doesn't
+    come up in time — the hung thread is abandoned via os._exit."""
+    import os
+    import sys
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:                      # pragma: no cover
+            result["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    why = result.get("error", "probe thread still blocked - TPU tunnel "
+                              "relay down?")
+    print(f"bench: backend init did not complete in {timeout_s:.0f}s "
+          f"({why}); refusing to hang", file=sys.stderr)
+    sys.stderr.flush()
+    os._exit(1)
+
+
 def main():
+    _require_live_backend()
     env = Env01V2().use_fast_solver().use_pallas_physics()
     vec = VecEnv(env, N_ENVS)
     key = jax.random.PRNGKey(0)
