@@ -103,10 +103,16 @@ def cli(ctx, algorithm, model, platform):
                    "every N evals (0 = off) — the RecordVideo analogue "
                    "(reference records every 50 episodes, sb_rl.py:502-507);"
                    " render with tools/replay.py")
+@click.option("--privileged-critic", is_flag=True, default=False,
+              help="asymmetric actor-critic (PPO only): the value net also "
+                   "sees the env's privileged features (Env03: block "
+                   "kinematics in the heading frame) — training-only; the "
+                   "deployed policy keeps the 6-obs interface and export "
+                   "slices the critic back")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
           total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs,
-          solver, physics, record_every):
+          solver, physics, record_every, privileged_critic):
     """Train (warm start with -m = the curriculum mechanism)."""
     import balance_robot_tpu as brt
     from .train.ppo import PPOConfig
@@ -137,7 +143,8 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
     else:
         cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
                         minibatch_size=minibatch, gamma=gamma, lr=lr,
-                        n_epochs=epochs)
+                        n_epochs=epochs,
+                        privileged_critic=privileged_critic)
     runner.train(env, cfg, seed=seed, total_timesteps=total_timesteps,
                  init_params=init, max_wall_s=max_wall, eval_freq=eval_freq,
                  run_name=f"{env_id}_{algo}", resume=resume,

@@ -28,6 +28,7 @@ class Env01V1:
     id = "Env01-v1"
     obs_dim = 6
     act_dim = 2
+    priv_dim = 0        # privileged critic features (see envs/env03.py)
     max_episode_steps = 6000
     reward_threshold = 6000.0
     params = rc.ENV01_PARAMS

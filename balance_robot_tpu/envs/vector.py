@@ -27,14 +27,21 @@ class StepOut(NamedTuple):
     terminated: jnp.ndarray     # (B,)
     truncated: jnp.ndarray      # (B,)
     terminal_obs: jnp.ndarray   # (B, obs_dim) pre-reset obs (valid when done)
+    terminal_priv: jnp.ndarray  # (B, priv_dim) pre-reset privileged critic
+                                # features ((B, 0) unless with_priv — see
+                                # train/ppo.py privileged_critic)
 
 
 class VecEnv:
-    def __init__(self, env, num_envs: int):
+    def __init__(self, env, num_envs: int, with_priv: bool = False):
         self.env = env
         self.num_envs = num_envs
         self.obs_dim = env.obs_dim
         self.act_dim = env.act_dim
+        # privileged critic features (asymmetric actor-critic): only
+        # surfaced when the trainer asks, so symmetric users pay nothing
+        self.priv_dim = env.priv_dim if (
+            with_priv and getattr(env, "priv_dim", 0)) else 0
 
     @partial(jax.jit, static_argnums=0)
     def reset(self, key):
@@ -63,7 +70,12 @@ class VecEnv:
             new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b),
                                      rstate, state2)
             new_obs = jnp.where(done, robs, obs)
+            # pre-reset privileged features: the truncation value bootstrap
+            # V(terminal) must see the same critic input as training
+            priv = (self.env.privileged(state2) if self.priv_dim
+                    else jnp.zeros((0,), jnp.float32))
             return new_state, StepOut(obs=new_obs, reward=reward, done=done,
                                       terminated=terminated,
-                                      truncated=truncated, terminal_obs=obs)
+                                      truncated=truncated, terminal_obs=obs,
+                                      terminal_priv=priv)
         return jax.vmap(one)(states, actions)

@@ -35,9 +35,12 @@ def export_onnx(params, path):
     order matches the reference's export of the SB3 policy module — actions
     FIRST, so the output named 'output' is what the test-onnx episode loop
     acts on (sb_rl.py:214-220)."""
+    from ..models.mlp import deployable_params
     from .onnx_writer import build_policy_onnx
 
-    pathlib.Path(path).write_bytes(build_policy_onnx(params))
+    # privileged-critic training widens vf_w1; the deployed graph keeps the
+    # actor's 6-obs interface (mlp.deployable_params docstring)
+    pathlib.Path(path).write_bytes(build_policy_onnx(deployable_params(params)))
     return path
 
 
@@ -45,7 +48,9 @@ def export_savedmodel(params, path):
     """TF SavedModel of the (value, actions, log_std) graph."""
     import tensorflow as tf
 
-    w = {k: np.asarray(v) for k, v in params.items()}
+    from ..models.mlp import deployable_params
+
+    w = {k: np.asarray(v) for k, v in deployable_params(params).items()}
 
     class Policy(tf.Module):
         @tf.function(input_signature=[

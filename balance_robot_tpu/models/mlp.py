@@ -22,7 +22,13 @@ def orthogonal(key, shape, gain):
     return gain * q[:shape[0], :shape[1]]
 
 
-def init_params(key, obs_dim=6, act_dim=2, hidden=64):
+def init_params(key, obs_dim=6, act_dim=2, hidden=64, vf_obs_dim=None):
+    """vf_obs_dim > obs_dim builds an ASYMMETRIC (privileged) critic: the
+    value trunk takes [obs, privileged-features] while the actor keeps the
+    deployment-pinned obs_dim interface (see train/ppo.py privileged_critic;
+    the extra rows are training-only and sliced off by deployable_params
+    before export)."""
+    vf_obs_dim = obs_dim if vf_obs_dim is None else vf_obs_dim
     ks = jax.random.split(key, 6)
     sq2 = float(jnp.sqrt(2.0))
     return {
@@ -32,7 +38,7 @@ def init_params(key, obs_dim=6, act_dim=2, hidden=64):
         "pi_b2": jnp.zeros(hidden),
         "pi_wout": orthogonal(ks[2], (hidden, act_dim), 0.01),
         "pi_bout": jnp.zeros(act_dim),
-        "vf_w1": orthogonal(ks[3], (obs_dim, hidden), sq2),
+        "vf_w1": orthogonal(ks[3], (vf_obs_dim, hidden), sq2),
         "vf_b1": jnp.zeros(hidden),
         "vf_w2": orthogonal(ks[4], (hidden, hidden), sq2),
         "vf_b2": jnp.zeros(hidden),
@@ -40,6 +46,30 @@ def init_params(key, obs_dim=6, act_dim=2, hidden=64):
         "vf_bout": jnp.zeros(1),
         "log_std": jnp.zeros(act_dim),
     }
+
+
+def pad_privileged_critic(params, vf_obs_dim):
+    """Widen a symmetric critic to vf_obs_dim input rows with ZERO weights
+    on the new (privileged) rows: the padded value function is exactly the
+    original wherever it is evaluated, and gradient flows into the new rows
+    from the first update — the warm-start mechanism for turning the
+    privileged critic on mid-curriculum."""
+    w = params["vf_w1"]
+    if w.shape[0] >= vf_obs_dim:
+        return params
+    pad = jnp.zeros((vf_obs_dim - w.shape[0], w.shape[1]), w.dtype)
+    return {**params, "vf_w1": jnp.concatenate([w, pad], axis=0)}
+
+
+def deployable_params(params, obs_dim=None):
+    """Slice a privileged critic back to the actor's obs width for export:
+    the deployed graph's value head is the proprioceptive projection of the
+    training critic (the action outputs — all that deployment uses — are
+    untouched).  No-op for symmetric params."""
+    obs_dim = params["pi_w1"].shape[0] if obs_dim is None else obs_dim
+    if params["vf_w1"].shape[0] <= obs_dim:
+        return params
+    return {**params, "vf_w1": params["vf_w1"][:obs_dim]}
 
 
 def policy_mean(params, obs):

@@ -44,6 +44,12 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
     optimizer: str = "adam"             # "adam" | "rmsprop" (A2C)
+    privileged_critic: bool = False     # asymmetric actor-critic: the value
+                                        # net sees env.privileged(state)
+                                        # (training-only; actor keeps the
+                                        # deployment 6-obs interface and
+                                        # export slices the critic back —
+                                        # mlp.deployable_params)
 
 
 class TrainState(NamedTuple):
@@ -64,7 +70,10 @@ class PPO:
                  shard_env=None):
         self.env = env
         self.cfg = config
-        self.vec = VecEnv(env, config.n_envs)
+        # privileged critic only where the env actually exposes features
+        self.priv_dim = (getattr(env, "priv_dim", 0)
+                         if config.privileged_critic else 0)
+        self.vec = VecEnv(env, config.n_envs, with_priv=self.priv_dim > 0)
         if config.optimizer == "rmsprop":
             # SB3 A2C default: RMSpropTFLike(alpha=0.99, eps=1e-5)
             inner = optax.rmsprop(config.lr, decay=0.99, eps=1e-5)
@@ -75,11 +84,30 @@ class PPO:
         self.shard_env = shard_env  # optional NamedSharding for (B, ...) axes
         self._evaluator = None      # lazy ChunkedEvaluator (see `evaluator`)
 
+    # --------------------------------------------------------------- priv
+    def _priv(self, env_states):
+        """(B, priv_dim) privileged critic features for the states that
+        produced the current obs; (B, 0) when the critic is symmetric, so a
+        zero-width concatenate keeps ONE code path for both modes."""
+        if self.priv_dim == 0:
+            return jnp.zeros((self.cfg.n_envs, 0), jnp.float32)
+        return jax.vmap(self.env.privileged)(env_states)
+
     # ------------------------------------------------------------- init
     def init(self, key, params=None):
         k1, k2, k3 = jax.random.split(key, 3)
+        vf_in = self.env.obs_dim + self.priv_dim
         if params is None:
-            params = mlp.init_params(k1, self.env.obs_dim, self.env.act_dim)
+            params = mlp.init_params(k1, self.env.obs_dim, self.env.act_dim,
+                                     vf_obs_dim=vf_in)
+        elif params["vf_w1"].shape[0] < vf_in:
+            # warm start from a symmetric-critic checkpoint: zero-pad the
+            # new privileged rows (value fn initially unchanged)
+            params = mlp.pad_privileged_critic(params, vf_in)
+        elif params["vf_w1"].shape[0] > vf_in:
+            # warm start a symmetric run from a privileged-critic
+            # checkpoint: keep the proprioceptive projection
+            params = mlp.deployable_params(params, vf_in)
         opt_state = self.optim.init(params)
         env_states, obs = self.vec.reset(k2)
         B = self.cfg.n_envs
@@ -96,7 +124,16 @@ class PPO:
         def step_fn(carry, _):
             ts = carry
             key, k_act = jax.random.split(ts.key)
-            mean, log_std, val = mlp.forward(ts.params, ts.last_obs)
+            # critic input = [obs, privileged features]; actor input stays
+            # the deployment obs (symmetric mode: critic sees obs as before)
+            if self.priv_dim:
+                vobs = jnp.concatenate(
+                    [ts.last_obs, self._priv(ts.env_states)], axis=-1)
+            else:
+                vobs = ts.last_obs
+            mean = mlp.policy_mean(ts.params, ts.last_obs)
+            log_std = ts.params["log_std"]
+            val = mlp.value(ts.params, vobs)
             actions = mlp.sample(k_act, mean, log_std)
             logp = mlp.log_prob(mean, log_std, actions)
             # SB3 clips actions to the Box bounds before env.step (the
@@ -105,7 +142,10 @@ class PPO:
             env_states, out = self.vec.step(ts.env_states, env_actions)
             # SB3 timeout bootstrap: when truncated (not terminated), add
             # gamma * V(terminal_obs) to the reward
-            term_val = mlp.value(ts.params, out.terminal_obs)
+            term_vobs = (jnp.concatenate(
+                [out.terminal_obs, out.terminal_priv], axis=-1)
+                if self.priv_dim else out.terminal_obs)
+            term_val = mlp.value(ts.params, term_vobs)
             reward = out.reward + jnp.where(
                 out.truncated & ~out.terminated,
                 cfg.gamma * term_val, 0.0)
@@ -120,6 +160,8 @@ class PPO:
                              stat_sum_ret=stat_sum, stat_n_eps=stat_n)
             data = dict(obs=carry.last_obs, actions=actions, logp=logp,
                         value=val, reward=reward, done=out.done)
+            if self.priv_dim:     # symmetric mode: vobs IS obs, store once
+                data["vobs"] = vobs
             return ts, data
 
         ts, traj = jax.lax.scan(step_fn, ts, None, length=cfg.n_steps)
@@ -128,7 +170,10 @@ class PPO:
     # ---------------------------------------------------------------- GAE
     def _gae(self, ts: TrainState, traj):
         cfg = self.cfg
-        last_val = mlp.value(ts.params, ts.last_obs)
+        last_vobs = (jnp.concatenate(
+            [ts.last_obs, self._priv(ts.env_states)], axis=-1)
+            if self.priv_dim else ts.last_obs)
+        last_val = mlp.value(ts.params, last_vobs)
 
         def back(carry, data):
             gae, next_val = carry
@@ -155,10 +200,14 @@ class PPO:
             "adv": adv.reshape(N),
             "ret": returns.reshape(N),
         }
+        if self.priv_dim:
+            flat["vobs"] = traj["vobs"].reshape(N, -1)
         n_mb = N // cfg.minibatch_size
 
         def loss_fn(params, mb):
-            mean, log_std, val = mlp.forward(params, mb["obs"])
+            mean = mlp.policy_mean(params, mb["obs"])
+            log_std = params["log_std"]
+            val = mlp.value(params, mb["vobs" if self.priv_dim else "obs"])
             logp = mlp.log_prob(mean, log_std, mb["actions"])
             a = mb["adv"]
             if cfg.normalize_advantage:

@@ -60,6 +60,62 @@ def test_iteration_runs_and_params_move():
     assert not np.allclose(np.asarray(ts.params["pi_w1"]), p0)
 
 
+def test_privileged_critic_ppo():
+    """Asymmetric actor-critic (PPOConfig.privileged_critic): the value net
+    sees env.privileged(state) — Env03 block kinematics + attack-side hint —
+    while the actor keeps the deployment 6-obs interface.  Warm start from a
+    symmetric checkpoint zero-pads the critic (value initially unchanged);
+    export slices the critic back to the actor width."""
+    import balance_robot_tpu as brt
+
+    env = brt.make("Env03-v2")
+    env.use_fast_solver()
+    cfg = PPOConfig(n_envs=2, n_steps=4, minibatch_size=4, n_epochs=1,
+                    privileged_critic=True)
+    ppo = PPO(env, cfg)
+    assert ppo.priv_dim == 8
+    # warm start from a symmetric checkpoint: padded value fn is identical
+    # wherever the privileged features are zero
+    sym = mlp.init_params(jax.random.PRNGKey(0))
+    ts = ppo.init(jax.random.PRNGKey(1), params=sym)
+    assert ts.params["vf_w1"].shape == (6 + 8, 64)
+    obs = jnp.linspace(-1, 1, 18).reshape(3, 6)
+    np.testing.assert_allclose(
+        np.asarray(mlp.value(ts.params, jnp.concatenate(
+            [obs, jnp.zeros((3, 8))], axis=-1))),
+        np.asarray(mlp.value(sym, obs)), rtol=1e-6)
+    ts2, m = ppo.iteration(ts)
+    assert np.isfinite(float(m["loss"]))
+    # the privileged rows actually receive gradient (the block is live from
+    # reset, so the features are nonzero in the rollout)
+    assert float(jnp.abs(ts2.params["vf_w1"][6:]).sum()) > 0.0
+    # deployment path: slice back to the 6-obs interface
+    dep = mlp.deployable_params(ts2.params)
+    assert dep["vf_w1"].shape[0] == 6
+    assert mlp.policy_mean(dep, obs[0]).shape == (2,)
+    # and a symmetric re-init from the wide checkpoint shrinks it back
+    ppo_sym = PPO(env, PPOConfig(n_envs=2, n_steps=4, minibatch_size=4,
+                                 n_epochs=1))
+    ts3 = ppo_sym.init(jax.random.PRNGKey(2), params=ts2.params)
+    assert ts3.params["vf_w1"].shape[0] == 6
+
+
+def test_privileged_features_env03():
+    """env.privileged: (8,) finite features; reset fires the block so the
+    geometry is live (parked flag 0) and Env03-v2's per-instance attack
+    side surfaces as the +-1 hint."""
+    import balance_robot_tpu as brt
+
+    env = brt.make("Env03-v2")
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    p = np.asarray(env.privileged(state))
+    assert p.shape == (8,) and np.isfinite(p).all()
+    assert p[6] == 0.0                  # block flying at reset, not parked
+    assert abs(p[7]) == 1.0             # fixed attack side: +-1 hint
+    # block on the 0.3 m spawn circle -> normalized rel pos magnitude ~1
+    assert 0.5 < np.linalg.norm(p[0:2]) < 1.5
+
+
 def test_sharded_iteration_multichip():
     """Full train step over the 8-device virtual mesh (the dryrun path)."""
     import balance_robot_tpu as brt

@@ -90,6 +90,11 @@ ap.add_argument("--failure-replay", type=int, default=0,
                      "(runs/oracle_r1.log) — PPO just never samples the "
                      "recovery regime densely enough.")
 ap.add_argument("--replay-frac", type=float, default=0.25)
+ap.add_argument("--privileged-critic", action="store_true",
+                help="asymmetric actor-critic: value net also sees block "
+                     "kinematics + attack side (training-only; warm starts "
+                     "from a symmetric checkpoint by zero-padding the new "
+                     "critic rows — see train/ppo.py)")
 ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                 help="force the JAX backend (config.update, not the env var: "
                      "sitecustomize has already imported jax)")
@@ -219,7 +224,8 @@ for b in range(args.bursts):
         break
     cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                     minibatch_size=args.mb, n_epochs=args.epochs,
-                    gamma=args.gamma, lr=lr, ent_coef=args.ent_coef)
+                    gamma=args.gamma, lr=lr, ent_coef=args.ent_coef,
+                    privileged_critic=args.privileged_critic)
     if args.failure_replay:
         # The replay bank swaps train_env.reset each burst, so the jitted
         # iteration MUST be retraced (it closes over reset at trace time).

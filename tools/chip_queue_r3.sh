@@ -14,12 +14,13 @@ mkdir -p runs
 
 BEST=models/Env03-v2_PPO/best_model.npz   # r2i flagship, 89.5% pooled
 
-echo "=== [1] longer-rollout burst ratchet (steps 128: median death lags the"
-echo "    fatal launch by 76 steps; 32-step GAE cannot credit it) ==="
+echo "=== [1] privileged critic + longer rollouts: the value net sees the"
+echo "    block (heading-frame kinematics + attack side) so GAE can price"
+echo "    incoming impacts; steps 128 spans the 76-step launch->death lag ==="
 timeout 10800 python tools/burst_refine.py \
   --init "$BEST" --out models/Env03-v2_r3a \
   --bursts 6 --burst-steps 2000000 --snap-steps 250000 \
-  --envs 256 --steps 128 --mb 1024 \
+  --envs 256 --steps 128 --mb 1024 --privileged-critic \
   --lr 5e-5 --gamma 0.999 --eval-episodes 512 --seed 11 \
   --max-wall 9600
 

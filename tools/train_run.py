@@ -35,7 +35,16 @@ p.add_argument("--solver", choices=("fast", "turbo", "exact"), default="fast",
 p.add_argument("--physics", choices=("pallas", "xla"), default="pallas",
                help="pallas = fused 250-substep TPU kernel (8-dof scenes; "
                     "~5x rollout speed); xla = reference path")
+p.add_argument("--privileged-critic", action="store_true",
+               help="asymmetric actor-critic: value net sees the env's "
+                    "privileged features (training-only; see train/ppo.py)")
+p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+               help="force the JAX backend (config.update, not the env "
+                    "var: sitecustomize has already imported jax)")
 args = p.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env_id)
 if args.solver == "fast":
@@ -51,7 +60,8 @@ if args.physics == "pallas" and hasattr(env, "use_pallas_physics"):
               "using the XLA path")
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
-                gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr)
+                gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr,
+                privileged_critic=args.privileged_critic)
 init = checkpoint.load(args.init) if args.init else None
 best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
