@@ -260,10 +260,17 @@ class PPO:
         """One PPO iteration: collect n_steps x n_envs transitions + update."""
         ts, traj = self._rollout(ts)
         adv, returns = self._gae(ts, traj)
+        # SB3's explained_variance over the rollout's value predictions:
+        # 1 - Var(ret - V)/Var(ret).  THE diagnostic for critic quality —
+        # in particular whether the privileged critic actually prices block
+        # impacts in (symmetric critics plateau well below 1 on Env03).
+        ev = 1.0 - jnp.var(returns - traj["value"]) / (
+            jnp.var(returns) + 1e-8)
         ts, metrics = self._update(ts, traj, adv, returns)
         loss, pg, vl, ent = metrics
         mean_ep_ret = ts.stat_sum_ret / jnp.maximum(ts.stat_n_eps, 1.0)
         return ts, dict(loss=loss, pg_loss=pg, v_loss=vl, entropy=ent,
+                        explained_variance=ev,
                         mean_ep_return=mean_ep_ret, n_episodes=ts.stat_n_eps)
 
     # -------------------------------------------------------------- eval

@@ -156,6 +156,9 @@ def train(env, config: PPOConfig, seed=0,
                 tb.add_scalar("train/loss", m["loss"], steps)
                 tb.add_scalar("train/value_loss", m["v_loss"], steps)
                 tb.add_scalar("train/entropy_loss", -m["entropy"], steps)
+                if "explained_variance" in m:      # PPO/A2C (SB3 metric)
+                    tb.add_scalar("train/explained_variance",
+                                  m["explained_variance"], steps)
                 tb.add_scalar("time/fps", steps / max(wall, 1e-9), steps)
                 tb.flush()
             if verbose:

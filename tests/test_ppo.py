@@ -57,6 +57,8 @@ def test_iteration_runs_and_params_move():
     p0 = np.asarray(ts.params["pi_w1"]).copy()
     ts, metrics = ppo.iteration(ts)
     assert np.isfinite(float(metrics["loss"]))
+    # SB3's explained_variance diagnostic (<= 1 by construction)
+    assert float(metrics["explained_variance"]) <= 1.0 + 1e-6
     assert not np.allclose(np.asarray(ts.params["pi_w1"]), p0)
 
 

@@ -249,6 +249,9 @@ for b in range(args.bursts):
         if steps >= next_snap:
             snaps.append((steps, jax.tree.map(np.asarray, ts.params)))
             next_snap += args.snap_steps
+            print(f"[burst {b}] {steps / 1e6:5.2f}M train: "
+                  f"ev={float(metrics['explained_variance']):+.3f} "
+                  f"ent={float(metrics['entropy']):+.2f}", flush=True)
     improved = False
     for s_steps, params in snaps:
         full, ret, length = big_eval(params)
