@@ -7,7 +7,9 @@ as pure functions over an `EnvState` pytree:
   * obs(6) = [pitch/0.25, fd-pitch_dot/1.0, vel_l/170*4, vel_r/170*4,
               (target_speed - wheel_speed)/170*4, (target_yaw - wheel_yaw)/45*3]
     (RobotBaseEnv.py:221-246; the finite-difference pitch_dot carries
-    last_pitch/last_time state across steps AND resets, :142-157)
+    last_pitch/last_time state across steps, and reset RE-ANCHORS it to
+    the new episode's initial pitch at t=0 — reset_model calls _get_obs,
+    whose get_pitch_dot_alt updates unconditionally, :142-157)
   * pitch = extrinsic-xyz euler x-angle of the chassis quaternion
     (scipy Rotation convention, RobotBaseEnv.py:127-135)
   * base balance reward (RobotBaseEnv.py:190-219) including the sign quirk
@@ -39,7 +41,9 @@ TERMINATE_PITCH = 50.0 * jnp.pi / 180.0
 class EnvState(NamedTuple):
     phys: PhysState
     t: jnp.ndarray              # int32 control-step count since episode start
-    last_pitch: jnp.ndarray     # fd-pitch_dot state (survives resets)
+    last_pitch: jnp.ndarray     # fd-pitch_dot state (re-anchored by the
+                                # _obs inside reset, like the reference's
+                                # reset_model -> _get_obs)
     last_t: jnp.ndarray         # float time of last _get_obs call
     has_last: jnp.ndarray       # bool
     target_wheel_speed: jnp.ndarray
@@ -115,27 +119,6 @@ def fd_pitch_dot(state: EnvState, pitch):
     ok = state.has_last & (dt > 0.0)
     pd = jnp.where(ok, (pitch - state.last_pitch) / jnp.where(ok, dt, 1.0), 0.0)
     return pd, pitch, t, jnp.asarray(True)
-
-
-def base_obs(state: EnvState, pitch):
-    """RobotBaseEnv._get_obs given a (possibly noise-injected) pitch sample.
-
-    The fd-pitch_dot uses its own pitch sample upstream (callers pass the
-    second noisy draw exactly like the reference's double get_pitch call).
-    """
-    qvel = state.phys.qvel
-    vel_l, vel_r = wheel_velocities(qvel)
-    pd, lp, lt, hl = fd_pitch_dot(state, pitch)
-    obs = jnp.stack([
-        pitch / PITCH_MAX,
-        pd / PITCH_DOT_MAX,
-        vel_l / WHEEL_SPEED_MAX * 4.0,
-        vel_r / WHEEL_SPEED_MAX * 4.0,
-        (state.target_wheel_speed - wheel_speed(qvel)) / WHEEL_SPEED_MAX * 4.0,
-        (state.target_yaw - wheel_yaw(qvel)) / YAW_MAX * 3.0,
-    ]).astype(jnp.float32)
-    new_state = state._replace(last_pitch=lp, last_t=lt, has_last=hl)
-    return obs, new_state
 
 
 def base_reward(state: EnvState, pitch):

@@ -18,7 +18,7 @@ from ..physics import robot_core as rc
 from ..physics.step import PhysState, control_step
 from . import base
 from .base import (EnvState, WHEEL_SPEED_DELTA_MAX, TERMINATE_PITCH,
-                   base_obs, base_reward, pitch_of,
+                   base_reward, pitch_of,
                    scipy_euler_to_mj_quat_scrambled)
 
 
@@ -43,6 +43,13 @@ class Env01V1:
         grade."""
         from ..physics import fast_solver
         self.params = fast_solver(self.params)
+        # a cached pallas control step bakes in the params it was built
+        # from — rebuild it so `use_pallas_physics().use_fast_solver()`
+        # (either order) runs the solver grade self.params reports
+        if (getattr(self, "_pallas_cs", None) is not None
+                or getattr(self, "_pallas_cs14", None) is not None):
+            self.use_pallas_physics(
+                interpret=getattr(self, "_pallas_interpret", False))
         return self
 
     def use_pallas_physics(self, interpret=False):
@@ -58,6 +65,7 @@ class Env01V1:
         from ..physics import pallas_step
         self._pallas_cs = pallas_step.make_vmappable_control_step(
             self.params, interpret=interpret)
+        self._pallas_interpret = interpret
         return self
 
     def _control_step(self, phys, ctrl, friction):
@@ -69,9 +77,6 @@ class Env01V1:
     # ---- noise hooks (overridden by v2/v3)
     def _pitch(self, state, qpos, key):
         return pitch_of(qpos)
-
-    def _n_pitch_draws(self):
-        return 0
 
     def reset(self, key):
         k1, k2, k3, k4, k5, kstate = jax.random.split(key, 6)

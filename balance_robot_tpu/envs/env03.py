@@ -75,7 +75,12 @@ class Env03V1(Env01V1):
                          -s * rel[0] + c * rel[1], rel[2]])
         fv = jnp.stack([c * vel[0] + s * vel[1],
                         -s * vel[0] + c * vel[1], vel[2]])
-        parked = jnp.sqrt(rel[0] ** 2 + rel[1] ** 2) > 2.0
+        # parked = awaiting respawn at (10,10).  aux["delay_started"] is the
+        # EXACT event-machinery state (_events: set when the block parks,
+        # cleared the step it respawns) — no distance threshold to
+        # misclassify a far-but-live missed block or a robot that drifted
+        # toward the park point.
+        parked = state.aux["delay_started"]
         live = jnp.where(parked, 0.0, 1.0)
         feats = jnp.concatenate([
             fwd * live / 0.3,
@@ -91,6 +96,7 @@ class Env03V1(Env01V1):
         from ..physics import pallas_block
         self._pallas_cs14 = pallas_block.make_vmappable_control_step14(
             self.params, interpret=interpret)
+        self._pallas_interpret = interpret
         return self
 
     def reset(self, key):

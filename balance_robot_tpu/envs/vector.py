@@ -57,11 +57,14 @@ class VecEnv:
             # auto-reset from a fresh key derived from the env's stream
             reset_key = jax.random.fold_in(state2.key, 0x5EED)
             rstate, robs = self.env.reset(reset_key)
-            # fd-pitch_dot state survives reset in the reference (the
-            # last_pitch/last_time attributes are not cleared): carry them
-            rstate = rstate._replace(last_pitch=state2.last_pitch,
-                                     last_t=jnp.float32(0.0),
-                                     has_last=state2.has_last)
+            # fd-pitch_dot state: the reference's reset_model calls
+            # _get_obs, whose get_pitch_dot_alt UNCONDITIONALLY re-anchors
+            # last_pitch/last_time to the new episode's initial pitch at
+            # t=0 (RobotBaseEnv.py:154-155); env.reset's own _obs already
+            # reproduced exactly that in rstate, so nothing is carried.
+            # (Carrying the dead episode's last_pitch — as this code once
+            # did — made the first post-reset fd step compute
+            # (p1 - p_dead)/0.005, an O(±300) spike in a ±4 obs.)
             # env-instance properties that survive episode resets
             # (e.g. Env03-v2 attack side, chosen once per env instance)
             if hasattr(self.env, "carry_across_reset"):

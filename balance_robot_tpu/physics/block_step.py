@@ -68,14 +68,15 @@ def block_fk(qpos_b):
 
 
 def block_bias(R, qvel_b, gravity):
-    """Free-body qfrc_bias: gravity on translations; the gyroscopic term
-    vanishes for the isotropic cube inertia but is kept for fidelity."""
-    w_w = mvmul(R, (qvel_b[3], qvel_b[4], qvel_b[5]))
-    gyro = vcross(w_w, vscale(w_w, BLOCK_I))
-    bias = [-BLOCK_MASS * g for g in gravity]
-    for i in range(3):
-        bias.append(vdot(mcol(R, i), gyro))
-    return tuple(bias)
+    """Free-body qfrc_bias: gravity on translations only.  The gyroscopic
+    term w x (I w) is mathematically zero for the isotropic cube inertia
+    (I = BLOCK_I * I3 => I w is parallel to w), so it is not computed —
+    this traces into both the XLA path and the fused pallas kernel, 250x
+    per control step.  NOTE: the dropped float computation rounded its two
+    inner products independently, so trajectories may differ from the old
+    code by ~1 ulp of I*w_i*w_j (block parity vs MuJoCo is unaffected,
+    test_block_parity.py)."""
+    return tuple(-BLOCK_MASS * g for g in gravity) + (0.0, 0.0, 0.0)
 
 
 def pair_to_set(pc, body1_dofs, params, nv=NV):

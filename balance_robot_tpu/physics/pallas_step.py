@@ -235,8 +235,10 @@ def make_vmappable_control_step(params, frame_skip=250, interpret=False):
         qvel = jnp.stack(state.qvel, axis=-1)
         ws = jnp.stack(state.warmstart, axis=-1)
         ctrl_a = jnp.stack(ctrl, axis=-1)
-        fric = friction if (friction is not None and any(
-            jax.tree.leaves(fric_b))) else None
+        # friction may be per-env (batched) OR a single unbatched scalar —
+        # an unbatched value must be broadcast, never dropped (dropping it
+        # would silently run the kernel with the params' static friction)
+        fric = friction
         if fric is not None and not all(jax.tree.leaves(fric_b)):
             fric = jnp.broadcast_to(fric, (axis_size,))
         qp, qv, w = control_step_pallas(qpos, qvel, ws, ctrl_a, fric, params,

@@ -22,13 +22,11 @@ a `(B,)` array, which maps perfectly onto the TPU VPU with zero tile padding.
 from dataclasses import dataclass
 
 import jax.numpy as jnp
-from jax import lax
 
 from .slin import (
     vadd, vsub, vscale, vdot, vcross,
-    qmul, qnormalize, qmat, axis_angle_quat, quat_integrate,
+    qnormalize, qmat,
     mvmul, mcol, motion_cross, force_cross, inert_mul,
-    chol_factor, chol_solve,
 )
 from . import constants as C
 

@@ -89,6 +89,33 @@ def test_env03_v2_attack_side_persists():
         np.asarray(states.aux["attack_front"]), side0)
 
 
+def test_vecenv_autoreset_reanchors_fd_state():
+    """Auto-reset must leave the fd pitch_dot state anchored to the FRESH
+    episode's initial pitch at t=0 — the reference's reset_model calls
+    _get_obs, which unconditionally re-anchors last_pitch/last_time
+    (RobotBaseEnv.py:154-155).  A carry of the dead episode's last_pitch
+    (the old behavior) made the first post-reset fd step an O(±300) spike
+    in an obs whose normal range is ±4."""
+    from balance_robot_tpu.envs.base import pitch_of
+
+    env = brt.make("Env01-v1")
+    env.use_fast_solver()
+    vec = VecEnv(env, 4)
+    states, _ = vec.reset(jax.random.PRNGKey(5))
+    # force truncation on the next step -> auto-reset
+    states = states._replace(
+        t=jnp.full(4, env.max_episode_steps - 1, jnp.int32))
+    states, out = vec.step(states, jnp.zeros((4, 2)))
+    assert bool(out.done.all())
+    p_new = np.asarray(pitch_of([q for q in states.phys.qpos]))
+    np.testing.assert_allclose(np.asarray(states.last_pitch), p_new,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(states.last_t), 0.0, atol=1e-9)
+    # and the first step of the fresh episode produces a sane obs[1]
+    states, out = vec.step(states, jnp.zeros((4, 2)))
+    assert np.abs(np.asarray(out.obs[:, 1])).max() < 50.0
+
+
 def test_cal01_constant_ctrl():
     env = brt.make("Cal01")
     state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))

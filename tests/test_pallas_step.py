@@ -84,3 +84,51 @@ def test_pallas_pads_ragged_batch():
         interpret=True)
     assert qp.shape == (B, 9) and qv.shape == (B, 8) and w.shape == (B, 8)
     assert np.isfinite(np.asarray(qp)).all()
+
+
+def test_vmap_rule_broadcasts_unbatched_friction(monkeypatch):
+    """The custom_vmap rule must BROADCAST an unbatched friction scalar to
+    the batch, never drop it (dropping silently ran the kernel with the
+    params' static friction)."""
+    from balance_robot_tpu.physics.step import PhysState
+
+    seen = {}
+
+    def fake_kernel(qpos, qvel, ws, ctrl, fric, params, frame_skip=250,
+                    interpret=False):
+        seen["fric"] = fric
+        return qpos, qvel, ws
+
+    monkeypatch.setattr(ps, "control_step_pallas", fake_kernel)
+    cs = ps.make_vmappable_control_step(rc.ENV01_PARAMS, frame_skip=7)
+    B = 3
+    state = PhysState(qpos=tuple(jnp.zeros(B) for _ in range(9)),
+                      qvel=tuple(jnp.zeros(B) for _ in range(8)),
+                      warmstart=tuple(jnp.zeros(B) for _ in range(8)))
+    ctrl = (jnp.zeros(B), jnp.zeros(B))
+    # unbatched scalar friction: must reach the kernel broadcast to (B,)
+    jax.vmap(cs, in_axes=(0, 0, None))(state, ctrl, jnp.float32(0.6))
+    assert seen["fric"] is not None and seen["fric"].shape == (B,)
+    np.testing.assert_allclose(np.asarray(seen["fric"]),
+                               np.full(B, 0.6, np.float32))
+    # per-env friction passes through unchanged
+    jax.vmap(cs, in_axes=(0, 0, 0))(state, ctrl,
+                                    jnp.asarray([0.5, 0.6, 0.7]))
+    assert seen["fric"].shape == (B,)
+    # absent friction stays absent (static-params path)
+    jax.vmap(cs, in_axes=(0, 0, None))(state, ctrl, None)
+    assert seen["fric"] is None
+
+
+def test_fast_solver_rebuilds_pallas_wrapper():
+    """use_pallas_physics().use_fast_solver() must not leave a stale kernel:
+    the cached pallas control step bakes in the params it was built from,
+    so switching solver grade afterwards has to rebuild it."""
+    env = brt.make("Env01-v1")
+    env.use_pallas_physics(interpret=True)
+    cs_before = env._pallas_cs
+    env.use_fast_solver()
+    assert env._pallas_cs is not cs_before
+    # the lru-cached factory returns the wrapper for the CURRENT params
+    assert env._pallas_cs is ps.make_vmappable_control_step(
+        env.params, interpret=True)
