@@ -78,7 +78,12 @@ class ChunkedEvaluator:
             if bool(carry[3].all()):
                 break
         _, _, rets, _, lens = carry
-        return np.asarray(rets), np.asarray(lens)
+        # chunks are fixed-length compiled kernels, so when max_steps is
+        # below the env's own horizon the last chunk overshoots; an episode
+        # still alive at max_steps counts as length max_steps exactly
+        # (returns may include the overshoot tail — length is the metric
+        # such callers use)
+        return np.asarray(rets), np.minimum(np.asarray(lens), max_steps)
 
     def evaluate(self, params, n_episodes: int, key, max_steps=None):
         """Mean (return, episode length) over n deterministic episodes."""

@@ -95,12 +95,12 @@ def harvest_fatal_states(env, params, episodes=512, seed=0, chunk=250,
     # draw (~13% of scrambled-quat starts are beyond the 50° bound), so
     # those episodes are conservatively excluded to keep the bank free of
     # states no policy could survive (deliberate: commit 90a8a81).
-    fatal = (lens < max_steps - 1) & (np.asarray(snap_t) > 0)
+    fatal = (lens < max_steps) & (np.asarray(snap_t) > 0)
     idx = np.nonzero(fatal)[0][:max_states]
     bank = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idx]), snap)
     info = dict(episodes=episodes, n_fatal=int(fatal.sum()),
                 n_bank=len(idx),
-                full_rate=float((lens >= max_steps - 1).mean()),
+                full_rate=float((lens >= max_steps).mean()),
                 death_dt=(lens[idx] - np.asarray(snap_t)[idx]),
                 obs=jnp.asarray(np.asarray(snap_obs)[idx]))
     return bank, info

@@ -187,7 +187,7 @@ def full_eval(p, seed, episodes=None):
     ret, lens = _evaluator.evaluate_detail(
         p, jax.random.split(jax.random.PRNGKey(seed),
                             episodes or args.eval_episodes))
-    return (float((lens >= max_steps - 1).mean()),
+    return (float((lens >= max_steps).mean()),
             float(ret.mean()), float(lens.mean()))
 
 

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 import balance_robot_tpu as brt
-from balance_robot_tpu.envs.vector import VecEnv
 from balance_robot_tpu.models import mlp
 from balance_robot_tpu.train import bc
 from balance_robot_tpu.train import checkpoint as ckpt
@@ -37,7 +36,13 @@ p.add_argument("--log-std", type=float, default=-1.0)
 p.add_argument("--bc-steps", type=int, default=2000)
 p.add_argument("--lr", type=float, default=1e-3)
 p.add_argument("--seed", type=int, default=0)
+p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+               help="force the JAX backend (config.update, not the env "
+                    "var: sitecustomize has already imported jax)")
 args = p.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 cfg = bc.BCConfig(episodes=args.episodes, steps=args.steps, k1=args.k1,
@@ -45,28 +50,16 @@ cfg = bc.BCConfig(episodes=args.episodes, steps=args.steps, k1=args.k1,
                   log_std=args.log_std, bc_steps=args.bc_steps, lr=args.lr)
 params = bc.fit(env, cfg, jax.random.PRNGKey(args.seed), verbose=True)
 
-# sanity: deterministic rollout of the cloned policy
-vec = VecEnv(env, cfg.episodes)
+# sanity: deterministic rollout of the cloned policy, through the shared
+# chunked evaluator (600 steps in one scan = 150k sequential substeps,
+# past the TPU watchdog limit — train/evaluation.py owns the chunking)
+from balance_robot_tpu.train import evaluation
 
-
-@jax.jit
-def eval_clone(key):
-    states, obs = vec.reset(key)
-
-    def body(carry, _):
-        states, obs, alive, steps = carry
-        a = jnp.clip(mlp.policy_mean(params, obs), -1, 1)
-        states, out = vec.step(states, a)
-        return (states, out.obs, alive & ~out.terminated,
-                steps + alive.astype(jnp.int32)), None
-
-    (_, _, _, steps), _ = jax.lax.scan(
-        body, (states, obs, jnp.ones(cfg.episodes, bool),
-               jnp.zeros(cfg.episodes, jnp.int32)), None, length=600)
-    return steps
-
-
-steps = np.asarray(eval_clone(jax.random.PRNGKey(7)))
+_ev = evaluation.ChunkedEvaluator(
+    env, lambda pp, o: jnp.clip(mlp.policy_mean(pp, o), -1.0, 1.0))
+_, steps = _ev.evaluate_detail(
+    params, jax.random.split(jax.random.PRNGKey(7), cfg.episodes),
+    max_steps=600)
 print(f"cloned policy: median survival {np.median(steps):.0f}/600, "
       f"frac full {np.mean(steps >= 590):.2f}")
 ckpt.save(args.out, params)

@@ -158,7 +158,14 @@ def _install_failure_replay(cur_params, burst_seed):
     (fresh rng + t=0 so replays diverge and get a full horizon; snapshots
     are post-launch, so the block-delay machinery is in its fired state and
     self-consistent).  Called at the top of every burst — DAgger-style: the
-    bank tracks the failures the latest policy actually has."""
+    bank tracks the failures the latest policy actually has.
+
+    Replayed episodes use the BANKED observation (the fd pitch_dot cannot
+    be recomputed from the bare state — harvest.py) and re-anchor last_t to
+    the new t=0 clock so the next fd step sees dt=5 ms exactly as in the
+    source episode.  carry_across_reset is patched so a replayed state
+    keeps ITS attack side (the banked flight direction must stay
+    consistent with aux) instead of being stamped with the slot's."""
     import types
     from balance_robot_tpu.train.harvest import harvest_fatal_states
 
@@ -172,6 +179,7 @@ def _install_failure_replay(cur_params, burst_seed):
         train_env.reset = _orig_train_reset
         return
     B = info["n_bank"]
+    bank_obs = jnp.asarray(info["obs"])
     frac = args.replay_frac
 
     def _replay_reset(self, key):
@@ -179,14 +187,36 @@ def _install_failure_replay(cur_params, burst_seed):
         state0, obs0 = _orig_train_reset(k1)
         i = jax.random.randint(k3, (), 0, B)
         bs = jax.tree.map(lambda x: x[i], bank)
-        bs = bs._replace(key=k1, t=jnp.int32(0))
+        # t=0 restarts the TimeLimit clock; last_t follows it so the next
+        # fd step computes (p1 - p_snap)/0.005 like the source episode
+        bs = bs._replace(key=k1, t=jnp.int32(0), last_t=jnp.float32(0.0))
         use = jax.random.uniform(k2) < frac
         state = jax.tree.map(
             lambda a, b: jnp.where(use, a, b), bs, state0)
-        obs, state = self._obs(state)
+        if "attack_front" in state.aux:
+            state = state._replace(
+                aux={**state.aux, "replayed": use})
+        obs = jnp.where(use, bank_obs[i], obs0)
         return state, obs
 
     train_env.reset = types.MethodType(_replay_reset, train_env)
+
+    if hasattr(train_env, "carry_across_reset"):
+        _orig_carry = type(train_env).carry_across_reset
+
+        def _replay_carry(self, old_state, new_state):
+            carried = _orig_carry(self, old_state, new_state)
+            # a replayed bank state keeps its own side — its in-flight
+            # block already travels that way; normal resets inherit the
+            # env-instance side as usual
+            side = jnp.where(new_state.aux.get("replayed", False),
+                             new_state.aux["attack_front"],
+                             carried.aux["attack_front"])
+            return carried._replace(
+                aux={**carried.aux, "attack_front": side})
+
+        train_env.carry_across_reset = types.MethodType(_replay_carry,
+                                                        train_env)
 
 
 # ---------------------------------------------------------------- eval
@@ -202,7 +232,7 @@ def big_eval(params):
     """(full_horizon_rate, mean_return, mean_len) on the FIXED key set —
     paired across snapshots so selection noise is mostly common-mode."""
     ret, lens = _evaluator.evaluate_detail(params, EVAL_KEYS)
-    return (float((lens >= max_steps - 1).mean()),
+    return (float((lens >= max_steps).mean()),
             float(ret.mean()), float(lens.mean()))
 
 
@@ -211,6 +241,9 @@ t0 = time.time()
 best_params = ckpt.load(args.init)
 score0 = big_eval(best_params)
 best = dict(score=score0[0], ret=score0[1], src=str(args.init))
+# the advertised artifact must exist even if every burst is dry (common at
+# the plateau — the ratchet only has to win occasionally)
+ckpt.save(out_dir / "best_model", best_params)
 print(f"[burst] init {args.init}: full={100 * score0[0]:.1f}% "
       f"ret={score0[1]:.0f} len={score0[2]:.0f}", flush=True)
 

@@ -77,7 +77,7 @@ for name, m in (("all", np.ones_like(recoverable)),
                 ("unrecoverable starts", ~recoverable)):
     if m.sum() == 0:
         continue
-    full = (lens[m] >= max_steps - 1).mean()
+    full = (lens[m] >= max_steps).mean()
     print(f"  {name:22s} n={int(m.sum()):4d}  return mean {ret[m].mean():8.1f}"
           f"  len mean {lens[m].mean():6.0f} median {np.median(lens[m]):6.0f}"
           f"  full-horizon {100 * full:5.1f}%")

@@ -127,19 +127,29 @@ last_fire = np.asarray(ex["last_fire_t"])
 fail_pitch = np.asarray(ex["fail_pitch"])
 fail_pdot = np.asarray(ex["fail_pdot"])
 
-full = lens >= max_steps - 1
+full = lens >= max_steps
+
+
+def _pct(mask):
+    """Guarded percentage over a possibly-empty slice (small --episodes can
+    draw a single attack side; a weak checkpoint can have zero survivors)."""
+    return f"{100 * full[mask].mean():.1f}%" if mask.any() else "n/a"
+
+
 failed = ~full
 print(f"{args.env} {args.model}: n={args.episodes} full-horizon "
-      f"{100 * full.mean():.1f}%  (front {100 * full[attack_front].mean():.1f}%"
-      f" n={attack_front.sum()}, back {100 * full[~attack_front].mean():.1f}%"
+      f"{100 * full.mean():.1f}%  (front {_pct(attack_front)}"
+      f" n={attack_front.sum()}, back {_pct(~attack_front)}"
       f" n={(~attack_front).sum()})")
 if failed.sum():
     dt_fail = lens[failed] - last_fire[failed]
+    full_fires = (f"~{np.median(n_fires[full]):.0f}" if full.any()
+                  else "n/a")
     print(f"failures: {failed.sum()}")
     print(f"  hits survived (n_fires at death): "
           f"min {n_fires[failed].min()} med {np.median(n_fires[failed]):.0f} "
           f"max {n_fires[failed].max()}  (full-horizon episodes see "
-          f"~{np.median(n_fires[full]):.0f})")
+          f"{full_fires})")
     print(f"  steps from last launch to death: "
           f"min {dt_fail.min()} med {np.median(dt_fail):.0f} "
           f"p90 {np.percentile(dt_fail, 90):.0f} max {dt_fail.max()}")

@@ -62,7 +62,13 @@ ap.add_argument("--init-std", type=float, default=0.3)
 ap.add_argument("--replay-steps", type=int, default=148,
                 help="total expert steps per state (multiple of exec-k)")
 ap.add_argument("--dump", default="runs/dagger_mpc.npz")
+ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                help="force the JAX backend (config.update, not the env "
+                     "var: sitecustomize has already imported jax)")
 args = ap.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 env.use_fast_solver()

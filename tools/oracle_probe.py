@@ -55,7 +55,13 @@ ap.add_argument("--init-std", type=float, default=0.4)
 ap.add_argument("--max-fatal", type=int, default=256,
                 help="cap on fatal states probed (keeps F*P bounded)")
 ap.add_argument("--dump-dagger", default=None)
+ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                help="force the JAX backend (config.update, not the env "
+                     "var: sitecustomize has already imported jax)")
 args = ap.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
 
 env = brt.make(args.env)
 env.use_fast_solver()
@@ -170,8 +176,7 @@ def cem_generation(states, mean, std, key):
     # DAgger labels must come from concrete winners, not the mean.
     bi = jnp.argmax(score, axis=1)
     best_cand = cand[jnp.arange(F), bi]               # (F,H,2)
-    best_rec = rec[jnp.arange(F), bi]
-    return new_mean, new_std, best, rec_any, best_cand, best_rec
+    return new_mean, new_std, best, rec_any, best_cand
 
 
 @jax.jit
@@ -188,7 +193,7 @@ run_best_score = np.full(F, -np.inf, np.float32)
 run_best_act = np.asarray(mean)
 for it in range(args.iters):
     key, k = jax.random.split(key)
-    mean, std, best, rec_any, bcand, brec = cem_generation(
+    mean, std, best, rec_any, bcand = cem_generation(
         fatal_states, mean, std, k)
     rec_union |= np.asarray(rec_any)
     best = np.asarray(best)

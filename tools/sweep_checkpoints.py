@@ -74,7 +74,7 @@ rows = []
 for p in paths:
     params = ckpt.load(p)
     ret, lens = evaluate(params, keys)
-    full = float((lens >= max_steps - 1).mean())
+    full = float((lens >= max_steps).mean())
     rows.append(dict(ckpt=p.name, full_horizon=full,
                      mean_return=float(ret.mean()),
                      mean_len=float(lens.mean()),
