@@ -104,11 +104,11 @@ def cli(ctx, algorithm, model, platform):
                    "(reference records every 50 episodes, sb_rl.py:502-507);"
                    " render with tools/replay.py")
 @click.option("--privileged-critic", is_flag=True, default=False,
-              help="asymmetric actor-critic (PPO only): the value net also "
-                   "sees the env's privileged features (Env03: block "
-                   "kinematics in the heading frame) — training-only; the "
-                   "deployed policy keeps the 6-obs interface and export "
-                   "slices the critic back")
+              help="asymmetric critics: the value net (PPO/A2C) or Q nets "
+                   "(SAC/TD3/DDPG) also see the env's privileged features "
+                   "(Env03: block kinematics in the heading frame) — "
+                   "training-only; the deployed policy keeps the 6-obs "
+                   "interface and export slices the critic back")
 @click.pass_context
 def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
           total_timesteps, max_wall, gamma, eval_freq, resume, lr, epochs,
@@ -135,11 +135,13 @@ def train(ctx, env_id, num_envs, rollout_steps, minibatch, seed,
     trainer = None
     if algo == "A2C":
         from .train.factory import algorithm_factory
-        _, cfg = algorithm_factory("A2C", env, n_envs=num_envs, gamma=gamma)
+        _, cfg = algorithm_factory("A2C", env, n_envs=num_envs, gamma=gamma,
+                                   privileged_critic=privileged_critic)
     elif algo in ("SAC", "TD3", "DDPG"):
         from .train.factory import algorithm_factory
         trainer, cfg = algorithm_factory(algo, env, n_envs=num_envs,
-                                         gamma=gamma)
+                                         gamma=gamma,
+                                         privileged_critic=privileged_critic)
     else:
         cfg = PPOConfig(n_envs=num_envs, n_steps=rollout_steps,
                         minibatch_size=minibatch, gamma=gamma, lr=lr,

@@ -89,6 +89,11 @@ class OffPolicyConfig:
     policy_delay: int = 2
     actor_hidden: tuple = (256, 256)
     critic_hidden: tuple = (256, 256)
+    privileged_critic: bool = False   # asymmetric critics: Q sees
+                                      # [obs, act, env.privileged(state)]
+                                      # (training-only; actor keeps the
+                                      # deployment obs interface — mirrors
+                                      # train/ppo.py privileged_critic)
 
 
 def default_config(algo, n_envs=256, **overrides):
@@ -121,6 +126,8 @@ class Buffer(NamedTuple):
     done: jnp.ndarray      # terminated only (truncation bootstraps, SB3
     ptr: jnp.ndarray       # total transitions written
     # handle_timeout_termination semantics)
+    priv: jnp.ndarray      # (cap, priv_dim) critic-only features at obs
+    next_priv: jnp.ndarray  # ... and at next_obs ((cap, 0) when symmetric)
 
 
 class OPTrainState(NamedTuple):
@@ -140,25 +147,53 @@ class OffPolicy:
     def __init__(self, env, config: OffPolicyConfig):
         self.env = env
         self.cfg = config
-        self.vec = VecEnv(env, config.n_envs)
+        # asymmetric critics only where the env exposes features
+        self.priv_dim = (getattr(env, "priv_dim", 0)
+                         if config.privileged_critic else 0)
+        self.vec = VecEnv(env, config.n_envs, with_priv=self.priv_dim > 0)
         self.opt_a = optax.adam(config.lr)
         self.opt_c = optax.adam(config.lr)
         self.opt_al = optax.adam(config.lr)
         self.target_entropy = -float(env.act_dim)
         self._evaluator = None  # lazy ChunkedEvaluator (see evaluate)
 
+    def _priv(self, env_states):
+        """(B, priv_dim) critic-only features for the states that produced
+        the current obs; (B, 0) when symmetric (zero-width concat keeps one
+        code path, as in train/ppo.py)."""
+        if self.priv_dim == 0:
+            return jnp.zeros((self.cfg.n_envs, 0), jnp.float32)
+        return jax.vmap(self.env.privileged)(env_states)
+
     # ------------------------------------------------------------ params
     def _init_params(self, key):
         cfg = self.cfg
         ko, k1, k2 = jax.random.split(key, 3)
         od, ad = self.env.obs_dim, self.env.act_dim
+        qin = od + ad + self.priv_dim   # priv LAST so symmetric warm
+        # starts zero-pad the tail rows (cf. mlp.pad_privileged_critic)
         actor_out = 2 * ad if cfg.algo == "SAC" else ad
         return {
             "actor": _init_mlp(ko, (od,) + cfg.actor_hidden, actor_out),
-            "q1": _init_mlp(k1, (od + ad,) + cfg.critic_hidden, 1),
-            "q2": _init_mlp(k2, (od + ad,) + cfg.critic_hidden, 1),
+            "q1": _init_mlp(k1, (qin,) + cfg.critic_hidden, 1),
+            "q2": _init_mlp(k2, (qin,) + cfg.critic_hidden, 1),
             "log_alpha": jnp.log(jnp.float32(cfg.init_alpha)),
         }
+
+    def _adapt_q_width(self, qp):
+        """Resize a loaded Q net's first layer to this trainer's input
+        width: zero-pad new trailing (privileged) rows — Q initially
+        identical, gradient flows in from the first update — or slice a
+        wider checkpoint back down for a symmetric run."""
+        qin = self.env.obs_dim + self.env.act_dim + self.priv_dim
+        w = qp[0]["w"]
+        if w.shape[0] < qin:
+            pad = jnp.zeros((qin - w.shape[0], w.shape[1]), w.dtype)
+            qp = [{**qp[0], "w": jnp.concatenate([w, pad], axis=0)},
+                  *qp[1:]]
+        elif w.shape[0] > qin:
+            qp = [{**qp[0], "w": w[:qin]}, *qp[1:]]
+        return qp
 
     def init(self, key, params=None):
         """Fresh train state; `params` warm-starts from a prior run of the
@@ -179,6 +214,8 @@ class OffPolicy:
                 raise ValueError(
                     f"warm-start params are missing networks {sorted(missing)}"
                     f" — not a {cfg.algo} checkpoint?")
+            for qk in ("q1", "q2"):
+                loaded[qk] = self._adapt_q_width(loaded[qk])
             params = {**base, **loaded}
         params["q1_t"] = jax.tree.map(lambda x: x, params["q1"])
         params["q2_t"] = jax.tree.map(lambda x: x, params["q2"])
@@ -191,7 +228,9 @@ class OffPolicy:
         od, ad = self.env.obs_dim, self.env.act_dim
         buf = Buffer(obs=jnp.zeros((cap, od)), act=jnp.zeros((cap, ad)),
                      rew=jnp.zeros(cap), next_obs=jnp.zeros((cap, od)),
-                     done=jnp.zeros(cap), ptr=jnp.int32(0))
+                     done=jnp.zeros(cap), ptr=jnp.int32(0),
+                     priv=jnp.zeros((cap, self.priv_dim)),
+                     next_priv=jnp.zeros((cap, self.priv_dim)))
         return OPTrainState(
             params=params, opt_actor=self.opt_a.init(params["actor"]),
             opt_critic=self.opt_c.init((params["q1"], params["q2"])),
@@ -230,8 +269,9 @@ class OffPolicy:
             a = a + cfg.action_noise * jax.random.normal(key, a.shape)
         return jnp.clip(a, -1.0, 1.0)
 
-    def _q(self, qp, obs, act):
-        return _apply_mlp(qp, jnp.concatenate([obs, act], -1))[..., 0]
+    def _q(self, qp, obs, act, priv=None):
+        parts = [obs, act] if priv is None else [obs, act, priv]
+        return _apply_mlp(qp, jnp.concatenate(parts, -1))[..., 0]
 
     # ------------------------------------------------------------ collect
     def _collect(self, ts: OPTrainState, n_steps):
@@ -250,9 +290,13 @@ class OffPolicy:
                                         maxval=1.0)
             a = jnp.where(ts.steps * cfg.n_envs < cfg.learning_starts,
                           a_rand, a_pol)
+            # critic-only features aligned with last_obs (pre-step states)
+            cur_priv = self._priv(ts.env_states)
             env_states, out = self.vec.step(ts.env_states, a)
             # true next obs: pre-reset terminal obs when done
             nxt = jnp.where(out.done[:, None], out.terminal_obs, out.obs)
+            nxt_priv = jnp.where(out.done[:, None], out.terminal_priv,
+                                 self._priv(env_states))
             idx = (ts.buffer.ptr + jnp.arange(B)) % cap
             buf = ts.buffer._replace(
                 obs=ts.buffer.obs.at[idx].set(ts.last_obs),
@@ -261,7 +305,9 @@ class OffPolicy:
                 next_obs=ts.buffer.next_obs.at[idx].set(nxt),
                 done=ts.buffer.done.at[idx].set(
                     out.terminated.astype(jnp.float32)),
-                ptr=ts.buffer.ptr + B)
+                ptr=ts.buffer.ptr + B,
+                priv=ts.buffer.priv.at[idx].set(cur_priv),
+                next_priv=ts.buffer.next_priv.at[idx].set(nxt_priv))
             ts = ts._replace(env_states=env_states, last_obs=out.obs,
                              key=key, buffer=buf, steps=ts.steps + 1)
             return ts, out.reward.mean()
@@ -283,13 +329,16 @@ class OffPolicy:
         rew = ts.buffer.rew[idx]
         nxt = ts.buffer.next_obs[idx]
         done = ts.buffer.done[idx]
+        priv = ts.buffer.priv[idx]          # (batch, 0) when symmetric
+        nxt_priv = ts.buffer.next_priv[idx]
         alpha = jnp.exp(p["log_alpha"])
 
         # ---- target actions / values
         if cfg.algo == "SAC":
             na, nlogp = self._sac_sample(p, nxt, k_t)
-            qt = jnp.minimum(self._q(p["q1_t"], nxt, na),
-                             self._q(p["q2_t"], nxt, na)) - alpha * nlogp
+            qt = jnp.minimum(self._q(p["q1_t"], nxt, na, nxt_priv),
+                             self._q(p["q2_t"], nxt, na, nxt_priv)
+                             ) - alpha * nlogp
         else:
             na = _apply_mlp(p["actor_t"], nxt, final_tanh=True)
             if cfg.target_noise > 0:
@@ -297,14 +346,14 @@ class OffPolicy:
                     cfg.target_noise * jax.random.normal(k_t, na.shape),
                     -cfg.target_noise_clip, cfg.target_noise_clip)
                 na = jnp.clip(na + eps, -1.0, 1.0)
-            qt = jnp.minimum(self._q(p["q1_t"], nxt, na),
-                             self._q(p["q2_t"], nxt, na))
+            qt = jnp.minimum(self._q(p["q1_t"], nxt, na, nxt_priv),
+                             self._q(p["q2_t"], nxt, na, nxt_priv))
         y = rew + cfg.gamma * (1.0 - done) * qt
 
         def critic_loss(qs):
             q1p, q2p = qs
-            l1 = jnp.mean((self._q(q1p, obs, act) - y) ** 2)
-            l2 = jnp.mean((self._q(q2p, obs, act) - y) ** 2)
+            l1 = jnp.mean((self._q(q1p, obs, act, priv) - y) ** 2)
+            l2 = jnp.mean((self._q(q2p, obs, act, priv) - y) ** 2)
             return l1 + l2
 
         cl, cgrads = jax.value_and_grad(critic_loss)((p["q1"], p["q2"]))
@@ -318,8 +367,8 @@ class OffPolicy:
         if cfg.algo == "SAC":
             def actor_loss(ap):
                 a, logp = self._sac_sample({**p, "actor": ap}, obs, k_a)
-                q = jnp.minimum(self._q(p["q1"], obs, a),
-                                self._q(p["q2"], obs, a))
+                q = jnp.minimum(self._q(p["q1"], obs, a, priv),
+                                self._q(p["q2"], obs, a, priv))
                 return jnp.mean(alpha * logp - q), logp
 
             (al, logp), agrads = jax.value_and_grad(
@@ -327,7 +376,7 @@ class OffPolicy:
         else:
             def actor_loss(ap):
                 a = _apply_mlp(ap, obs, final_tanh=True)
-                return -jnp.mean(self._q(p["q1"], obs, a)), jnp.zeros(
+                return -jnp.mean(self._q(p["q1"], obs, a, priv)), jnp.zeros(
                     cfg.batch_size)
 
             (al, logp), agrads = jax.value_and_grad(

@@ -197,6 +197,51 @@ def test_offpolicy_trainers():
             assert np.isfinite(float(r))
 
 
+def test_offpolicy_privileged_critic():
+    """Asymmetric Q critics (OffPolicyConfig.privileged_critic): Q sees
+    [obs, act, env.privileged(state)]; the buffer stores priv/next_priv;
+    a symmetric checkpoint warm-starts by zero-padding the trailing rows
+    (Q initially identical where priv = 0)."""
+    import balance_robot_tpu as brt
+    from balance_robot_tpu.train.factory import algorithm_factory
+
+    env = brt.make("Env03-v2")
+    env.use_fast_solver()
+    tr, cfg = algorithm_factory("SAC", env, n_envs=2, buffer_size=256,
+                                batch_size=8, learning_starts=1,
+                                train_freq=2, gradient_steps=1,
+                                privileged_critic=True)
+    assert tr.priv_dim == 8
+    ts = tr.init(jax.random.PRNGKey(0))
+    assert ts.params["q1"][0]["w"].shape[0] == 6 + 2 + 8
+    assert ts.buffer.priv.shape == (256, 8)
+    ts, m = tr.iteration(ts)
+    ts, m = tr.iteration(ts)
+    assert np.isfinite(float(m["critic_loss"]))
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree.leaves(ts.params))
+    # warm start from a symmetric checkpoint: zero-pad -> identical Q at
+    # priv = 0
+    sym = tr._init_params(jax.random.PRNGKey(1))
+    sym_q1 = [{**l, "w": l["w"][:8]} if i == 0 else l
+              for i, l in enumerate(sym["q1"])]
+    ts2 = tr.init(jax.random.PRNGKey(2),
+                  params={"actor": sym["actor"], "q1": sym_q1,
+                          "q2": sym["q2"], "log_alpha": sym["log_alpha"]})
+    assert ts2.params["q1"][0]["w"].shape[0] == 16
+    obs = jnp.ones((3, 6))
+    act = jnp.full((3, 2), 0.3)
+    np.testing.assert_allclose(
+        np.asarray(tr._q(ts2.params["q1"], obs, act, jnp.zeros((3, 8)))),
+        np.asarray(_apply_mlp_q(sym_q1, jnp.concatenate([obs, act], -1))),
+        rtol=1e-6)
+
+
+def _apply_mlp_q(params, x):
+    from balance_robot_tpu.train.offpolicy import _apply_mlp
+    return _apply_mlp(params, x)[..., 0]
+
+
 def test_checkpoint_nested_roundtrip(tmp_path):
     from balance_robot_tpu.train import checkpoint as ck
     from balance_robot_tpu.train.factory import algorithm_factory
