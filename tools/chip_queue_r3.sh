@@ -62,4 +62,11 @@ for m in models/Env03-v2_r3a/best_model.npz \
   timeout 3600 python tools/eval_policy.py "$m" --env Env03-v2 \
     --episodes 512 --seed 202
 done
+echo "=== [5] critic anticipation probe: does the privileged critic dip"
+echo "    between launch and impact where the symmetric one stays flat? ==="
+for m in "$BEST" models/Env03-v2_r3a/best_model.npz; do
+  [ -f "$m" ] || continue
+  echo "== value_probe $m"
+  timeout 2400 python tools/value_probe.py "$m" --episodes 128 --seed 9
+done
 echo "=== queue done ==="
