@@ -67,6 +67,6 @@ echo "    between launch and impact where the symmetric one stays flat? ==="
 for m in "$BEST" models/Env03-v2_r3a/best_model.npz; do
   [ -f "$m" ] || continue
   echo "== value_probe $m"
-  timeout 2400 python tools/value_probe.py "$m" --episodes 128 --seed 9
+  timeout 2400 python tools/value_probe.py "$m" --episodes 128 --seed 9 --window 120
 done
 echo "=== queue done ==="
