@@ -108,15 +108,20 @@ def main():
     ref_sps = json.loads(ref_file.read_text())[
         "reference_env_steps_per_sec_cpu"] if ref_file.exists() else 140.8
 
-    # On-hardware pallas drift bound (utils/drift.py): a Mosaic regression
-    # must fail the bench loudly, not silently corrupt training.
+    # On-hardware pallas drift bounds (utils/drift.py): a Mosaic regression
+    # must fail the bench loudly, not silently corrupt training.  Both fused
+    # kernels are asserted: Env01-v2 (8-dof, physics/pallas_step.py) and
+    # Env03-v2 (14-dof block kernel, physics/pallas_block.py) — the flagship
+    # trains on the latter.
     if jax.devices()[0].platform == "tpu":
-        from balance_robot_tpu.utils import drift
-        d = drift.assert_drift_bounded("Env01-v2", steps=3, batch=16)
         import sys
-        print(f"pallas drift Env01-v2 ok: step1={d[1]:.2e} "
-              f"step3={d[3]:.2e} (bounds {drift.STEP1_BOUND['Env01-v2']:.0e}"
-              f"/{drift.STEP5_BOUND['Env01-v2']:.0e})", file=sys.stderr)
+        from balance_robot_tpu.utils import drift
+        for env_id in ("Env01-v2", "Env03-v2"):
+            d = drift.assert_drift_bounded(env_id, steps=3, batch=16)
+            print(f"pallas drift {env_id} ok: step1={d[1]:.2e} "
+                  f"step3={d[3]:.2e} (bounds "
+                  f"{drift.STEP1_BOUND[env_id]:.0e}"
+                  f"/{drift.STEP5_BOUND[env_id]:.0e})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_4096envs",
