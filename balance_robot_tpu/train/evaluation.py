@@ -46,7 +46,7 @@ class ChunkedEvaluator:
                 jnp.zeros(n, jnp.int32))
 
     @partial(jax.jit, static_argnums=0)
-    def _chunk(self, params, carry):
+    def _chunk(self, params, carry, max_steps):
         def body(carry, _):
             states, obs, ret, done, t = carry
             action = self.act_fn(params, obs)
@@ -59,7 +59,10 @@ class ChunkedEvaluator:
             obs = keep(obs, obs2)
             ret = ret + jnp.where(done, 0.0, r)
             t = t + (~done).astype(jnp.int32)
-            done = done | term | trunc
+            # reaching the caller's max_steps is a truncation: stops return
+            # accumulation exactly at the step budget even though chunks are
+            # fixed-length compiled kernels (no overshoot tail in returns)
+            done = done | term | trunc | (t >= max_steps)
             return (states, obs, ret, done, t), None
 
         carry, _ = jax.lax.scan(body, carry, None, length=self.chunk)
@@ -71,19 +74,18 @@ class ChunkedEvaluator:
         cancels across checkpoints, see tools/sweep_checkpoints.py)."""
         max_steps = max_steps or self.env.max_episode_steps
         carry = self._reset(keys)
+        ms = jnp.int32(max_steps)
         steps = 0
         while steps < max_steps:
-            carry = self._chunk(params, carry)
+            carry = self._chunk(params, carry, ms)
             steps += self.chunk
             if bool(carry[3].all()):
                 break
         _, _, rets, _, lens = carry
-        # chunks are fixed-length compiled kernels, so when max_steps is
-        # below the env's own horizon the last chunk overshoots; an episode
-        # still alive at max_steps counts as length max_steps exactly
-        # (returns may include the overshoot tail — length is the metric
-        # such callers use)
-        return np.asarray(rets), np.minimum(np.asarray(lens), max_steps)
+        # _chunk truncates at max_steps inside the kernel, so both returns
+        # and lengths are exact even when max_steps is below the env horizon
+        # and not a multiple of the chunk size
+        return np.asarray(rets), np.asarray(lens)
 
     def evaluate(self, params, n_episodes: int, key, max_steps=None):
         """Mean (return, episode length) over n deterministic episodes."""

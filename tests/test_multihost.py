@@ -46,6 +46,42 @@ arr = jax.make_array_from_callback(
 total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
 assert float(total) == 28.0, float(total)
 print(f"WORKER_{pid}_OK", flush=True)
+
+# --- sharded PPO iteration spanning both hosts (the code path a real pod
+# runs): env batch laid over the global 'env' axis, params replicated,
+# episode stats reduced ACROSS processes inside the jitted iteration.
+from balance_robot_tpu.envs.env01 import Env01V1
+from balance_robot_tpu.train.ppo import PPO, PPOConfig
+
+env = Env01V1()
+env.max_episode_steps = 6     # episodes complete within 12 sharded steps
+n_envs = 16
+cfg = PPOConfig(n_envs=n_envs, n_steps=4, minibatch_size=4, n_epochs=1)
+ppo = PPO(env, cfg)
+# init is deterministic from the key, so both processes hold identical
+# host-local values; make_array_from_callback lifts them into ONE global
+# array per leaf (env-batch leaves sharded over 'env', rest replicated)
+ts = ppo.init(jax.random.PRNGKey(0))
+env_s = NamedSharding(mesh, P("env"))
+rep = NamedSharding(mesh, P())
+
+def globalize(x):
+    v = np.asarray(x)
+    s = env_s if (v.ndim >= 1 and v.shape[0] == n_envs) else rep
+    return jax.make_array_from_callback(v.shape, s, lambda i, v=v: v[i])
+
+ts = jax.tree.map(globalize, ts)
+with mesh:
+    for _ in range(3):        # 12 sharded env steps > 6-step horizon
+        ts, metrics = ppo.iteration(ts)
+jax.block_until_ready(ts.params)
+n_eps = float(metrics["n_episodes"])
+assert n_eps >= float(n_envs), metrics   # every env completed >= 1 episode
+assert np.isfinite(float(metrics["loss"])), metrics
+assert np.isfinite(float(metrics["mean_ep_return"])), metrics
+# params must remain replicated across the full 8-device global mesh
+assert len(ts.params["pi_w1"].sharding.device_set) == 8
+print(f"WORKER_{pid}_PPO_OK neps={n_eps}", flush=True)
 """
 
 
@@ -63,9 +99,12 @@ def test_two_process_mesh():
     outs = []
     try:
         for i, p in enumerate(procs):
-            out, err = p.communicate(timeout=240)
+            # two simultaneous XLA:CPU compiles of the PPO iteration on this
+            # 1-core host are slow; generous ceiling, typical ~2-3 min
+            out, err = p.communicate(timeout=900)
             outs.append((out, err))
             assert f"WORKER_{i}_OK" in out, f"worker {i}:\n{err[-3000:]}"
+            assert f"WORKER_{i}_PPO_OK" in out, f"worker {i}:\n{err[-3000:]}"
     finally:
         for p in procs:
             if p.poll() is None:

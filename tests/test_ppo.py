@@ -151,6 +151,32 @@ def test_evaluate_chunked():
     assert 1 <= float(length) <= 300
 
 
+def test_evaluate_detail_exact_max_steps():
+    """evaluate_detail truncates returns AND lengths exactly at max_steps
+    even though chunks are fixed-length kernels (the round-2 version let
+    returns include the overshoot tail of the last chunk)."""
+    from balance_robot_tpu.train.evaluation import ChunkedEvaluator
+
+    class UnitRewardEnv:
+        """Never terminates, reward 1.0/step — return must equal length."""
+        max_episode_steps = 6000
+
+        def reset(self, key):
+            return jnp.zeros(()), jnp.zeros(6)
+
+        def step(self, state, action):
+            return state + 1.0, jnp.zeros(6), jnp.float32(1.0), \
+                jnp.asarray(False), jnp.asarray(False)
+
+    ev = ChunkedEvaluator(UnitRewardEnv(), lambda p, o: jnp.zeros((o.shape[0],
+                                                                   2)))
+    # 300 is not a multiple of the 250-step chunk: old code returned 500.0
+    rets, lens = ev.evaluate_detail(None, jax.random.split(
+        jax.random.PRNGKey(0), 3), max_steps=300)
+    np.testing.assert_array_equal(rets, np.full(3, 300.0))
+    np.testing.assert_array_equal(lens, np.full(3, 300))
+
+
 def test_algorithm_factory():
     from balance_robot_tpu.train.factory import algorithm_factory
     env = _make_env01()
