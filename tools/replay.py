@@ -93,12 +93,62 @@ def expand_frames(qpos, env, scene_nq):
     return out
 
 
+def hud_series(qpos):
+    """Per-frame HUD values matching the reference's human-render overlays
+    (RobotBaseEnv.py:97-125): pitch/yaw from the free-joint quaternion,
+    wheel speeds by finite difference of the hinge angles (coords 7/8; the
+    right wheel's axis is mirrored, robot-02.xml:11,16), wheel speed/yaw
+    via the reference's get_wheel_speed / get_wheel_yaw combinations."""
+    from scipy.spatial.transform import Rotation
+    q = qpos[:, 3:7]
+    ok = np.abs(q).sum(axis=1) > 0
+    euler = np.zeros((len(q), 3))
+    if ok.any():
+        euler[ok] = Rotation.from_quat(
+            q[ok][:, [1, 2, 3, 0]]).as_euler("xyz")
+    vel = np.zeros((len(qpos), 2))
+    vel[1:] = np.diff(qpos[:, 7:9], axis=0) / CONTROL_DT
+    speed = (vel[:, 0] - vel[:, 1]) / 2.0     # RobotBaseEnv.py:172-175
+    wyaw = vel[:, 0] + vel[:, 1]              # RobotBaseEnv.py:167-170
+    return dict(pitch=np.degrees(euler[:, 0]), yaw=np.degrees(euler[:, 2]),
+                speed=speed, wheel_yaw=wyaw)
+
+
+def draw_hud(frame, series, i):
+    """Burn the overlay text into a rendered frame (PIL; the reference uses
+    the MuJoCo viewer's mjr_overlay, unavailable offscreen)."""
+    from PIL import Image, ImageDraw
+    img = Image.fromarray(frame)
+    d = ImageDraw.Draw(img)
+    lines = [f"t      {i * CONTROL_DT:7.2f} s",
+             f"Pitch  {series['pitch'][i]:+7.2f} deg",
+             f"Speed  {series['speed'][i]:+7.1f} rad/s",
+             f"Yaw    {series['yaw'][i]:+7.2f} deg",
+             f"W.yaw  {series['wheel_yaw'][i]:+7.1f} rad/s"]
+    for k, text in enumerate(lines):
+        d.text((8, 8 + 14 * k), text, fill=(255, 255, 255))
+    return np.asarray(img)
+
+
+def follow_camera(mujoco, x, y):
+    """Reference camera follow (_update_camera_follow, RobotBaseEnv.py:87-95):
+    keep the lookat centered on the robot body."""
+    cam = mujoco.MjvCamera()
+    cam.lookat[:] = [x, y, 0.1]
+    cam.distance, cam.elevation, cam.azimuth = 0.8, -15.0, 90.0
+    return cam
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("traj")
     p.add_argument("--env", default="Env01-v1")
     p.add_argument("--out", default=None, help="mp4 output (needs GL)")
     p.add_argument("--print", dest="print_only", action="store_true")
+    p.add_argument("--hud", action="store_true",
+                   help="burn Pitch/Speed/Yaw overlays into the frames and "
+                        "follow the robot with the camera (the reference's "
+                        "human-render HUD, RobotBaseEnv.py:97-125)")
     args = p.parse_args()
 
     data = np.load(args.traj)
@@ -118,14 +168,20 @@ def main():
         f"/root/reference/src/balance_robot/envs/{SCENES[args.env]}")
     d = mujoco.MjData(m)
     frames_q = expand_frames(qpos, args.env, m.nq)
+    hud = hud_series(qpos) if args.hud else None
     try:
         renderer = mujoco.Renderer(m, 480, 640)
         frames = []
         for i in range(0, len(frames_q), 4):   # 200 Hz sim -> 50 fps video
             d.qpos[:] = frames_q[i]
             mujoco.mj_forward(m, d)
-            renderer.update_scene(d)
-            frames.append(renderer.render())
+            if args.hud:
+                renderer.update_scene(d, camera=follow_camera(
+                    mujoco, frames_q[i, 0], frames_q[i, 1]))
+            else:
+                renderer.update_scene(d)
+            f = renderer.render()
+            frames.append(draw_hud(f, hud, i) if args.hud else f)
     except Exception as e:
         print(f"rendering unavailable ({e}); use --print", file=sys.stderr)
         sys.exit(1)
