@@ -55,16 +55,18 @@ class Env01V1:
     def use_pallas_physics(self, interpret=False):
         """Route the 250-substep control step through the fused pallas TPU
         kernel when this env runs under vmap (VecEnv / PPO); single-env
-        calls keep the XLA path (physics/pallas_step.py). Flat-floor 8-dof
-        scenes only — wall scenes (EnvMove05) and Env03's 14-dof step keep
-        the XLA path."""
+        calls keep the XLA path.  Flat-floor 8-dof scenes use
+        physics/pallas_step.py; wall scenes (EnvMove05 corridor) use
+        physics/pallas_move.py; Env03's 14-dof step overrides this with
+        physics/pallas_block.py."""
         if getattr(self.params, "walls", None):
-            raise NotImplementedError(
-                "the fused pallas step covers floor contacts only; "
-                f"{self.id} has wall geoms - use the XLA path")
-        from ..physics import pallas_step
-        self._pallas_cs = pallas_step.make_vmappable_control_step(
-            self.params, interpret=interpret)
+            from ..physics import pallas_move
+            self._pallas_cs = pallas_move.make_vmappable_control_step_walls(
+                self.params, interpret=interpret)
+        else:
+            from ..physics import pallas_step
+            self._pallas_cs = pallas_step.make_vmappable_control_step(
+                self.params, interpret=interpret)
         self._pallas_interpret = interpret
         return self
 

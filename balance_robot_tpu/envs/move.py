@@ -173,7 +173,7 @@ class EnvMove05(Env01V1):
         #    servos from [a0*20, a1*45] targets (:26, RobotMoveBaseEnv:179-210)
         state, ctrl = self._step_wheel_speeds(
             state, action[0] * 20.0, action[1] * base.YAW_MAX)
-        phys = control_step(state.phys, ctrl, self.params)
+        phys = self._control_step(state.phys, ctrl, None)
         state = state._replace(phys=phys, t=state.t + 1)
         terminated = jnp.abs(pitch_of(jnp.stack(state.phys.qpos))) \
             > TERMINATE_PITCH

@@ -389,9 +389,12 @@ def box_cylinder_scalar(cbox, Rbox, half, ccyl, axis, r, h, margin):
 
 # ---------------------------------------------------------- row building
 
-def build_rows14_scalar(scontacts, qvel, cdofs, coms):
-    """EfcRows from SContact records. cdofs: 14 (ang, lin) 6-tuples;
-    coms: 14 com 3-tuples (robot com for dofs 0-7, block pos for 8-13)."""
+def build_rows14_scalar(scontacts, qvel, cdofs, coms, nv=None):
+    """EfcRows from SContact records. cdofs: nv (ang, lin) 6-tuples;
+    coms: nv com 3-tuples (robot com for dofs 0-7, block pos for 8-13).
+    nv defaults to the 14-dof block layout; pallas_move reuses the builder
+    at nv=8 for the wall scenes."""
+    NV = nv if nv is not None else globals()["NV"]
     rows_J, arefs, Ds, masks = [], [], [], []
     for c in scontacts:
         prm = c.params

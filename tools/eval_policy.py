@@ -47,10 +47,31 @@ params = ckpt.load(args.model)
 max_steps = env.max_episode_steps
 
 
+# Deterministic act fn by checkpoint format: PPO/A2C MLPs carry pi_w1;
+# off-policy (SAC/TD3/DDPG) checkpoints carry an "actor" layer list — SAC's
+# actor emits [mean, log_std] (out = 2*act_dim, deterministic = tanh(mean)),
+# TD3/DDPG emit tanh(out) directly (train/offpolicy.py::_act).
+if any(k.startswith("actor/") for k in params):
+    from balance_robot_tpu.train.offpolicy import _apply_mlp
+    n_layers = 1 + max(int(k.split("/")[1]) for k in params
+                       if k.startswith("actor/"))
+    actor = [{"w": jnp.asarray(params[f"actor/{i}/w"]),
+              "b": jnp.asarray(params[f"actor/{i}/b"])}
+             for i in range(n_layers)]
+    sac = actor[-1]["b"].shape[-1] == 2 * env.act_dim
+
+    def _op_act(p, o):
+        out = _apply_mlp(actor, o)
+        if sac:                                         # tanh(mean)
+            mean, _ = jnp.split(out, 2, axis=-1)
+            return jnp.tanh(mean)
+        return jnp.clip(jnp.tanh(out), -1.0, 1.0)       # TD3/DDPG
+    _act_fn = _op_act
+else:
+    _act_fn = lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0)
+
 # One owner for the watchdog-critical chunked rollout (train/evaluation.py).
-_evaluator = evaluation.ChunkedEvaluator(
-    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0),
-    chunk=args.chunk)
+_evaluator = evaluation.ChunkedEvaluator(env, _act_fn, chunk=args.chunk)
 
 
 @jax.jit

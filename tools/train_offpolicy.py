@@ -43,6 +43,9 @@ p.add_argument("--learning-starts", type=int, default=10_000,
                     "fills that in <1 iteration)")
 p.add_argument("--seed", type=int, default=0)
 p.add_argument("--init", default=None)
+p.add_argument("--resume", action="store_true",
+               help="exact restart from <models>/<run-name>/resume_state.npz"
+                    " (params + opts + replay buffer pointer state)")
 p.add_argument("--max-steps", type=int, default=int(5e6))
 p.add_argument("--max-wall", type=float, default=None)
 p.add_argument("--eval-freq", type=int, default=100_000)
@@ -82,5 +85,5 @@ best, hist = runner.train(
     eval_freq=args.eval_freq, ckpt_freq=4 * args.eval_freq,
     n_eval_episodes=args.eval_episodes, init_params=init,
     max_wall_s=args.max_wall, trainer=trainer, run_name=run_name,
-    models_dir="models", logs_dir="logs")
+    resume=args.resume, models_dir="models", logs_dir="logs")
 print(f"done; artifacts under models/{run_name}/")
