@@ -61,6 +61,19 @@ def pad_privileged_critic(params, vf_obs_dim):
     return {**params, "vf_w1": jnp.concatenate([w, pad], axis=0)}
 
 
+def pad_privileged_actor(params, pi_obs_dim):
+    """Widen a 6-obs ACTOR to pi_obs_dim input rows with zero weights on the
+    new (privileged) rows — the warm-start mechanism for the privileged-obs
+    TEACHER (envs/privileged.py): the padded policy is exactly the original
+    everywhere, and gradient flows into the block-feature rows from the
+    first update.  Teacher params are training-only and never exported."""
+    w = params["pi_w1"]
+    if w.shape[0] >= pi_obs_dim:
+        return params
+    pad = jnp.zeros((pi_obs_dim - w.shape[0], w.shape[1]), w.dtype)
+    return {**params, "pi_w1": jnp.concatenate([w, pad], axis=0)}
+
+
 def deployable_params(params, obs_dim=None):
     """Slice a privileged critic back to the actor's obs width for export:
     the deployed graph's value head is the proprioceptive projection of the

@@ -303,3 +303,46 @@ def test_offpolicy_warm_start():
         np.asarray(jax.tree.leaves(ts2.params["q1"])[0]))
     with pytest.raises(ValueError, match="missing networks"):
         tr.init(jax.random.PRNGKey(1), params={"pi_w1": np.zeros((6, 64))})
+
+
+def test_privileged_obs_teacher_wrapper():
+    """PrivilegedObsEnv (the TEACHER's view): obs = [obs6, privileged8];
+    a zero-row-padded warm start reproduces the 6-obs policy exactly, and a
+    full PPO iteration on the wrapped env runs and moves the padded rows."""
+    import balance_robot_tpu as brt
+    from balance_robot_tpu.envs.privileged import PrivilegedObsEnv
+
+    base = brt.make("Env03-v2")
+    env = PrivilegedObsEnv(base)
+    assert env.obs_dim == base.obs_dim + base.priv_dim == 14
+    # wrapped obs: first 6 entries are the deployment obs, the rest the
+    # privileged features of the SAME state
+    key = jax.random.PRNGKey(3)
+    s, o = env.reset(key)
+    _, o6 = base.reset(key)
+    np.testing.assert_allclose(np.asarray(o[:6]), np.asarray(o6))
+    np.testing.assert_allclose(np.asarray(o[6:]),
+                               np.asarray(base.privileged(s)))
+    s2, o2, r, term, trunc = env.step(s, jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(o2[6:]),
+                               np.asarray(base.privileged(s2)))
+    # delegation: env-instance properties still drive auto-reset carries
+    assert hasattr(env, "carry_across_reset")
+    assert env.max_episode_steps == base.max_episode_steps
+
+    # zero-padded warm start == incumbent policy on every reachable state
+    p6 = mlp.init_params(jax.random.PRNGKey(0), 6, 2)
+    p14 = mlp.pad_privileged_actor(p6, env.obs_dim)
+    assert p14["pi_w1"].shape[0] == 14
+    np.testing.assert_allclose(
+        np.asarray(mlp.policy_mean(p14, o)),
+        np.asarray(mlp.policy_mean(p6, o[:6])), atol=1e-7)
+
+    cfg = PPOConfig(n_envs=2, n_steps=4, minibatch_size=8, n_epochs=1)
+    ppo = PPO(env, cfg)
+    ts = ppo.init(jax.random.PRNGKey(1),
+                  params=mlp.pad_privileged_critic(p14, env.obs_dim))
+    rows0 = np.asarray(ts.params["pi_w1"][6:]).copy()
+    ts, metrics = ppo.iteration(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(ts.params["pi_w1"][6:]), rows0)

@@ -44,6 +44,16 @@ if args.platform is not None:
 
 env = brt.make(args.env)
 params = ckpt.load(args.model)
+# privileged-obs TEACHER checkpoint (tools/train_run.py --privileged-actor):
+# the actor input is wider than the deployment obs — evaluate it through the
+# same wrapped view it trained on
+if "pi_w1" in params and params["pi_w1"].shape[0] > env.obs_dim:
+    from balance_robot_tpu.envs.privileged import PrivilegedObsEnv
+    env = PrivilegedObsEnv(env)
+    assert params["pi_w1"].shape[0] == env.obs_dim, \
+        f"teacher obs width {params['pi_w1'].shape[0]} != {env.obs_dim}"
+    print(f"[teacher checkpoint: evaluating through PrivilegedObsEnv "
+          f"({env.obs_dim}-obs)]")
 max_steps = env.max_episode_steps
 
 

@@ -38,6 +38,12 @@ p.add_argument("--physics", choices=("pallas", "xla"), default="pallas",
 p.add_argument("--privileged-critic", action="store_true",
                help="asymmetric actor-critic: value net sees the env's "
                     "privileged features (training-only; see train/ppo.py)")
+p.add_argument("--privileged-actor", action="store_true",
+               help="TEACHER mode: the actor ALSO sees the privileged "
+                    "features (obs = [obs, privileged]); training "
+                    "infrastructure for DAgger distillation + the "
+                    "observability-floor measurement (envs/privileged.py). "
+                    "Never exported.")
 p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                help="force the JAX backend (config.update, not the env "
                     "var: sitecustomize has already imported jax)")
@@ -58,11 +64,20 @@ if args.physics == "pallas" and hasattr(env, "use_pallas_physics"):
     except NotImplementedError as e:
         print(f"pallas physics unavailable for {args.env_id}: {e}; "
               "using the XLA path")
+if args.privileged_actor:
+    from balance_robot_tpu.envs.privileged import PrivilegedObsEnv
+    env = PrivilegedObsEnv(env)
 cfg = PPOConfig(n_envs=args.envs, n_steps=args.steps,
                 minibatch_size=args.mb, n_epochs=args.epochs,
                 gamma=args.gamma, ent_coef=args.ent_coef, lr=args.lr,
                 privileged_critic=args.privileged_critic)
 init = checkpoint.load(args.init) if args.init else None
+if init is not None and args.privileged_actor:
+    # warm start the teacher from a 6-obs checkpoint: zero rows on the new
+    # privileged inputs keep the initial policy exactly the incumbent
+    # (PPO.init pads the critic the same way)
+    from balance_robot_tpu.models import mlp
+    init = mlp.pad_privileged_actor(init, env.obs_dim)
 best, hist = runner.train(
     env, cfg, seed=args.seed, total_timesteps=args.max_steps,
     eval_freq=args.eval_freq, ckpt_freq=2 * args.eval_freq,
