@@ -1,0 +1,131 @@
+"""EnvMove05-v1 scripted-policy probe: is the registered 900 bar reachable?
+
+docs/TRAINING.md (round 3) showed the honest speed-tracking ceiling is ~590
+over the 700-step horizon, but the as-built reward's denominator is the
+policy's OWN previous action (`tws = a0*20`, reference
+RobotMoveBaseEnv.py:179-180 + envMove05_v1.py:103-116), so an
+accelerate/harvest limit cycle clears 900. This probe measures that claim
+with two scripted policy families, vmapped over a parameter grid:
+
+  1. CYCLE  (stateful, step-counter square wave): the ceiling — accelerate
+     `a_hi` for `n_hi` steps, harvest at `a_lo` for `n_lo` steps;
+  2. THRESH (memoryless sigmoid on the observable wheel speed): what the
+     deployment MLP (obs = [ws/170, yaw/45, 0*8]) can actually express —
+     a steep f(ws) plus the wheel-servo lag self-oscillates.
+
+Outputs the best (return, survival) per family; the best THRESH member is
+the BC-init target for the PPO run toward the 900 threshold
+(tools/train_run.py warm start).
+"""
+import argparse
+import pathlib
+import sys
+import itertools
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import balance_robot_tpu as brt
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--seeds", type=int, default=4)
+ap.add_argument("--max-steps", type=int, default=None,
+                help="shorten the horizon (smoke only; returns then do NOT "
+                     "measure the 900-over-700 bar)")
+ap.add_argument("--platform", choices=["tpu", "cpu"], default=None)
+ap.add_argument("--pallas", action="store_true",
+                help="use the fused pallas move kernel when available")
+args = ap.parse_args()
+
+if args.platform is not None:
+    jax.config.update("jax_platforms", args.platform)
+
+env = brt.make("EnvMove05-v1")
+env.use_fast_solver()
+if args.pallas and hasattr(env, "use_pallas_physics"):
+    try:
+        env.use_pallas_physics()
+    except NotImplementedError as e:
+        print(f"pallas unavailable: {e}")
+T = args.max_steps or env.max_episode_steps
+
+
+def rollout(policy_fn, n_params, params_grid, seeds):
+    """Vmapped episode rollout: policy_fn(params_row, obs, t) -> action."""
+
+    def one(params_row, key):
+        state, obs = env.reset(key)
+
+        def body(carry, t):
+            state, obs, ret, done = carry
+            a = policy_fn(params_row, obs, t)
+            state2, obs2, r, term, trunc = env.step(state, a)
+            keep = lambda A, B: jax.tree.map(
+                lambda x, y: jnp.where(done, x, y), A, B)
+            state = keep(state, state2)
+            obs = jnp.where(done, obs, obs2)
+            ret = ret + jnp.where(done, 0.0, r)
+            done = done | term | trunc
+            return (state, obs, ret, done), None
+
+        (state, obs, ret, done), _ = jax.lax.scan(
+            body, (state, obs, jnp.float32(0.0), jnp.asarray(False)),
+            jnp.arange(T))
+        return ret, state.t
+
+    keys = jax.random.split(jax.random.PRNGKey(7), seeds)
+    grid = jnp.asarray(params_grid, jnp.float32)        # (G, n_params)
+    f = jax.jit(jax.vmap(jax.vmap(one, in_axes=(None, 0)),
+                         in_axes=(0, None)))
+    rets, lens = f(grid, keys)                          # (G, S)
+    return np.asarray(rets), np.asarray(lens)
+
+
+# ---------------------------------------------------------- family 1: CYCLE
+def cycle_policy(p, obs, t):
+    n_hi, n_lo, a_hi, a_lo = p[0], p[1], p[2], p[3]
+    phase = jnp.mod(t.astype(jnp.float32), n_hi + n_lo)
+    a0 = jnp.where(phase < n_hi, a_hi, a_lo)
+    return jnp.stack([a0, jnp.float32(0.0)])
+
+
+cycle_grid = [(n_hi, n_lo, a_hi, a_lo)
+              for n_hi in (20.0, 40.0, 80.0)
+              for n_lo in (40.0, 80.0, 160.0)
+              for a_hi in (0.5, 1.0)
+              for a_lo in (0.005, 0.02, 0.05)]
+
+# --------------------------------------------------------- family 2: THRESH
+def thresh_policy(p, obs, t):
+    mid, width, a_hi, a_lo = p[0], p[1], p[2], p[3]
+    ws = obs[0] * 170.0                     # de-normalize the observable
+    g = jax.nn.sigmoid((mid - ws) / width)  # ws < mid -> accelerate
+    a0 = a_lo + (a_hi - a_lo) * g
+    return jnp.stack([a0, jnp.float32(0.0)])
+
+
+thresh_grid = [(mid, width, a_hi, a_lo)
+               for mid in (4.0, 8.0, 12.0)
+               for width in (0.25, 1.0, 3.0)
+               for a_hi in (0.5, 1.0)
+               for a_lo in (0.005, 0.02, 0.05)]
+
+
+for name, fn, grid in (("CYCLE", cycle_policy, cycle_grid),
+                       ("THRESH", thresh_policy, thresh_grid)):
+    rets, lens = rollout(fn, 4, grid, args.seeds)
+    mean_r = rets.mean(axis=1)
+    surv = (lens >= T).mean(axis=1)
+    order = np.argsort(-mean_r)
+    print(f"--- {name}: top 5 of {len(grid)} "
+          f"(mean over {args.seeds} seeds; horizon {T}) ---")
+    for i in order[:5]:
+        print(f"  params={tuple(round(float(x), 3) for x in grid[i])}  "
+              f"ret={mean_r[i]:7.1f}  survival={100 * surv[i]:5.1f}%")
+    best = order[0]
+    print(f"[{name}] best ret={mean_r[best]:.1f} "
+          f"(>=900: {'YES' if mean_r[best] >= 900 else 'no'}) "
+          f"params={tuple(float(x) for x in grid[best])}")
