@@ -197,7 +197,10 @@ for it in range(args.iters):
     gap = float(jnp.mean(
         (jnp.clip(mlp.policy_mean(student, d_obs), -1, 1) - d_act) ** 2))
     buf_obs, buf_act, n = insert(buf_obs, buf_act, n, d_obs, d_act)
-    n_mb = max(1, args.epochs * int(n) // args.mb)
+    # fixed minibatch count (fresh-data sized): a buffer-dependent count
+    # would change the static arg every iteration and recompile the
+    # update kernel each time
+    n_mb = max(1, args.epochs * (T * B) // args.mb)
     student, opt_state, loss = update(student, opt_state, buf_obs, buf_act,
                                       n, ku, n_mb)
     print(f"[dagger {it}] beta={beta:.0f} buffer={int(n)} "
