@@ -45,8 +45,18 @@ from balance_robot_tpu.train import evaluation
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--env", default="Env03-v2")
-ap.add_argument("--teacher", required=True)
-ap.add_argument("--init", required=True, help="student init (6-obs)")
+ap.add_argument("--teacher", required=True,
+                help="label source: a 6-obs policy OR a privileged-actor "
+                     "(obs+priv input) checkpoint of any hidden width")
+ap.add_argument("--init", default=None,
+                help="student init checkpoint; omit with --student-hidden "
+                     "to distill into a freshly initialized net")
+ap.add_argument("--student-hidden", type=int, default=None,
+                help="fresh student hidden width (with --init absent)")
+ap.add_argument("--student-priv", action="store_true",
+                help="the STUDENT also sees [obs, privileged] — used to "
+                     "clone the incumbent into a wide privileged net as "
+                     "the warm start for teacher-v2 PPO")
 ap.add_argument("--out", required=True)
 ap.add_argument("--envs", type=int, default=1024)
 ap.add_argument("--collect-steps", type=int, default=64,
@@ -84,11 +94,24 @@ if hasattr(env, "use_pallas_physics") and \
 max_steps = env.max_episode_steps
 obs_dim, act_dim = env.obs_dim, env.act_dim
 
+priv_dim = env.priv_dim
 teacher = ckpt.load(args.teacher)
-assert teacher["pi_w1"].shape[0] == obs_dim + env.priv_dim, \
-    "teacher must be a privileged-actor checkpoint"
-student = ckpt.load(args.init)
-assert student["pi_w1"].shape[0] == obs_dim
+t_in = teacher["pi_w1"].shape[0]
+assert t_in in (obs_dim, obs_dim + priv_dim), \
+    f"teacher input width {t_in} matches neither obs nor obs+priv"
+s_in = obs_dim + priv_dim if args.student_priv else obs_dim
+if args.init:
+    student = ckpt.load(args.init)
+    assert student["pi_w1"].shape[0] == s_in, \
+        f"student init width {student['pi_w1'].shape[0]} != {s_in}"
+else:
+    assert args.student_hidden, "--init or --student-hidden required"
+    student = mlp.init_params(jax.random.PRNGKey(args.seed + 7),
+                              s_in, act_dim, hidden=args.student_hidden,
+                              vf_obs_dim=s_in)
+    # inherit the teacher's converged exploration noise: a fresh log_std 0
+    # would smother the cloned behavior in any later PPO warm start
+    student = {**student, "log_std": jnp.asarray(teacher["log_std"])}
 
 out_dir = pathlib.Path(args.out)
 out_dir.mkdir(parents=True, exist_ok=True)
@@ -113,16 +136,18 @@ def collect(student, states, obs, key, beta):
     def step_fn(carry, k):
         states, obs = carry
         priv = jax.vmap(env.privileged)(states)
-        tobs = jnp.concatenate([obs, priv], axis=-1)
-        t_act = jnp.clip(mlp.policy_mean(teacher, tobs), -1.0, 1.0)
-        s_act = jnp.clip(mlp.policy_mean(student, obs), -1.0, 1.0)
+        aug = jnp.concatenate([obs, priv], axis=-1)
+        t_act = jnp.clip(mlp.policy_mean(
+            teacher, aug if t_in > obs_dim else obs), -1.0, 1.0)
+        s_obs = aug if args.student_priv else obs
+        s_act = jnp.clip(mlp.policy_mean(student, s_obs), -1.0, 1.0)
         kd, kn = jax.random.split(k)
         drive = jax.random.bernoulli(kd, beta, (B, 1))
         act = jnp.where(drive, t_act, s_act)
         act = jnp.clip(
             act + args.noise * jax.random.normal(kn, act.shape), -1.0, 1.0)
         states, out = vec.step(states, act)
-        return (states, out.obs), (obs, t_act)
+        return (states, out.obs), (s_obs, t_act)
 
     (states, obs), (d_obs, d_act) = jax.lax.scan(
         step_fn, (states, obs), jax.random.split(key, T))
@@ -157,8 +182,14 @@ def update(student, opt_state, buf_obs, buf_act, n_valid, key, n_mb):
 
 
 # paired selection eval (fixed keys — burst_refine.py conventions)
+# the evaluator rolls the STUDENT's view of the env
+if args.student_priv:
+    from balance_robot_tpu.envs.privileged import PrivilegedObsEnv
+    _eval_env = PrivilegedObsEnv(env)
+else:
+    _eval_env = env
 _evaluator = evaluation.ChunkedEvaluator(
-    env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
+    _eval_env, lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0))
 EVAL_KEYS = jax.random.split(jax.random.PRNGKey(args.seed),
                              args.eval_episodes)
 
@@ -170,7 +201,7 @@ def big_eval(params):
 
 
 t0 = time.time()
-buf_obs = jnp.zeros((args.cap, obs_dim), jnp.float32)
+buf_obs = jnp.zeros((args.cap, s_in), jnp.float32)
 buf_act = jnp.zeros((args.cap, act_dim), jnp.float32)
 n = jnp.int32(0)
 
