@@ -74,6 +74,52 @@ def pad_privileged_actor(params, pi_obs_dim):
     return {**params, "pi_w1": jnp.concatenate([w, pad], axis=0)}
 
 
+def net2net_widen(params, key, obs_dim=None, hidden=256, vf_obs_dim=None,
+                  init_scale=1e-2):
+    """Function-preserving widening (Net2Net): embed a trained 64-64 policy
+    into a wider (and optionally wider-input) net that computes EXACTLY the
+    same outputs, with every new unit trainable:
+
+      * existing weights are copied block-wise;
+      * new INPUT rows (e.g. privileged features) are zero — the
+        pad_privileged_critic mechanism, gradients flow from step 1;
+      * new hidden units get small random INCOMING weights and ZERO
+        outgoing weights: outputs are unchanged, the zero outgoing rows
+        receive gradient prop. to the (nonzero) new activations, so the
+        capacity comes alive after the first update instead of being dead
+        (all-zero blocks would pin both sides at zero forever).
+
+    This is the teacher-v2 warm start: the BC-clone route left the value
+    head untrained, and PPO from a garbage critic destroyed the cloned
+    actor (runs/teacher2_r4.log)."""
+    obs_dim = obs_dim or params["pi_w1"].shape[0]
+    vf_obs_dim = vf_obs_dim or max(obs_dim, params["vf_w1"].shape[0])
+    ks = iter(jax.random.split(key, 8))
+
+    def widen_trunk(prefix, in_new):
+        w1, b1 = params[f"{prefix}_w1"], params[f"{prefix}_b1"]
+        w2, b2 = params[f"{prefix}_w2"], params[f"{prefix}_b2"]
+        wo, bo = params[f"{prefix}_wout"], params[f"{prefix}_bout"]
+        in_old, h_old = w1.shape
+        assert in_new >= in_old and hidden >= h_old
+        W1 = init_scale * jax.random.normal(next(ks), (in_new, hidden))
+        W1 = W1.at[:, :h_old].set(0.0).at[:in_old, :h_old].set(w1)
+        B1 = jnp.zeros(hidden).at[:h_old].set(b1)
+        W2 = init_scale * jax.random.normal(next(ks), (hidden, hidden))
+        # new h1 units must not perturb OLD h2 units (exactness)
+        W2 = W2.at[:, :h_old].set(0.0).at[:h_old, :h_old].set(w2)
+        B2 = jnp.zeros(hidden).at[:h_old].set(b2)
+        WO = jnp.zeros((hidden, wo.shape[1])).at[:h_old].set(wo)
+        return {f"{prefix}_w1": W1, f"{prefix}_b1": B1,
+                f"{prefix}_w2": W2, f"{prefix}_b2": B2,
+                f"{prefix}_wout": WO, f"{prefix}_bout": bo}
+
+    out = dict(params)
+    out.update(widen_trunk("pi", obs_dim))
+    out.update(widen_trunk("vf", vf_obs_dim))
+    return out
+
+
 def deployable_params(params, obs_dim=None):
     """Slice a privileged critic back to the actor's obs width for export:
     the deployed graph's value head is the proprioceptive projection of the

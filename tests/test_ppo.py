@@ -346,3 +346,29 @@ def test_privileged_obs_teacher_wrapper():
     ts, metrics = ppo.iteration(ts)
     assert np.isfinite(float(metrics["loss"]))
     assert not np.allclose(np.asarray(ts.params["pi_w1"][6:]), rows0)
+
+
+def test_net2net_widen_exact_and_alive():
+    """net2net_widen: the widened net computes EXACTLY the original
+    policy/value on any input (new input rows zero, new-unit outgoing
+    zero), and every new block becomes trainable (nonzero grads reach the
+    new outgoing rows at the first step)."""
+    p6 = mlp.init_params(jax.random.PRNGKey(0), 6, 2)
+    pw = mlp.net2net_widen(p6, jax.random.PRNGKey(1), obs_dim=14,
+                           hidden=256, vf_obs_dim=14)
+    assert pw["pi_w1"].shape == (14, 256) and pw["vf_w1"].shape == (14, 256)
+    obs14 = jax.random.normal(jax.random.PRNGKey(2), (32, 14))
+    np.testing.assert_allclose(
+        np.asarray(mlp.policy_mean(pw, obs14)),
+        np.asarray(mlp.policy_mean(p6, obs14[:, :6])), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mlp.value(pw, obs14)),
+        np.asarray(mlp.value(p6, obs14[:, :6])), atol=1e-5)
+    # aliveness: a supervised step produces nonzero grads on the new
+    # outgoing rows (they'd be identically zero in a naive zero-block embed)
+    def loss(p):
+        return jnp.mean(mlp.policy_mean(p, obs14) ** 2) + jnp.mean(
+            mlp.value(p, obs14) ** 2)
+    g = jax.grad(loss)(pw)
+    assert float(jnp.abs(g["pi_wout"][64:]).max()) > 0
+    assert float(jnp.abs(g["vf_wout"][64:]).max()) > 0

@@ -58,6 +58,11 @@ ap.add_argument("--student-priv", action="store_true",
                      "clone the incumbent into a wide privileged net as "
                      "the warm start for teacher-v2 PPO")
 ap.add_argument("--out", required=True)
+ap.add_argument("--vf-coef", type=float, default=0.0,
+                help="also clone the teacher's VALUE head (weight of the "
+                     "value-MSE term). Essential when the clone warm-starts "
+                     "a PPO run: a random critic makes early advantages "
+                     "garbage and can destroy the cloned actor.")
 ap.add_argument("--envs", type=int, default=1024)
 ap.add_argument("--collect-steps", type=int, default=64,
                 help="control steps per DAgger iteration per env")
@@ -146,30 +151,38 @@ def collect(student, states, obs, key, beta):
         act = jnp.where(drive, t_act, s_act)
         act = jnp.clip(
             act + args.noise * jax.random.normal(kn, act.shape), -1.0, 1.0)
+        t_val = mlp.value(teacher, aug if t_in > obs_dim else obs)
         states, out = vec.step(states, act)
-        return (states, out.obs), (s_obs, t_act)
+        return (states, out.obs), (s_obs, t_act, t_val)
 
-    (states, obs), (d_obs, d_act) = jax.lax.scan(
+    (states, obs), (d_obs, d_act, d_val) = jax.lax.scan(
         step_fn, (states, obs), jax.random.split(key, T))
-    return states, obs, d_obs.reshape(T * B, -1), d_act.reshape(T * B, -1)
+    return (states, obs, d_obs.reshape(T * B, -1),
+            d_act.reshape(T * B, -1), d_val.reshape(T * B))
 
 
 @jax.jit
-def insert(buf_obs, buf_act, n, d_obs, d_act):
+def insert(buf_obs, buf_act, buf_val, n, d_obs, d_act, d_val):
     idx = (n + jnp.arange(T * B)) % args.cap
     return (buf_obs.at[idx].set(d_obs), buf_act.at[idx].set(d_act),
+            buf_val.at[idx].set(d_val),
             jnp.minimum(n + T * B, args.cap))
 
 
-@partial(jax.jit, static_argnums=6)
-def update(student, opt_state, buf_obs, buf_act, n_valid, key, n_mb):
+@partial(jax.jit, static_argnums=7)
+def update(student, opt_state, buf_obs, buf_act, buf_val, n_valid, key,
+           n_mb):
     def mb_step(carry, k):
         student, opt_state = carry
         idx = jax.random.randint(k, (args.mb,), 0, n_valid)
-        o, a = buf_obs[idx], buf_act[idx]
+        o, a, v = buf_obs[idx], buf_act[idx], buf_val[idx]
 
         def loss_fn(p):
-            return jnp.mean((mlp.policy_mean(p, o) - a) ** 2)
+            loss = jnp.mean((mlp.policy_mean(p, o) - a) ** 2)
+            if args.vf_coef:
+                loss = loss + args.vf_coef * jnp.mean(
+                    (mlp.value(p, o) - v) ** 2)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(student)
         updates, opt_state = optim.update(grads, opt_state, student)
@@ -203,6 +216,7 @@ def big_eval(params):
 t0 = time.time()
 buf_obs = jnp.zeros((args.cap, s_in), jnp.float32)
 buf_act = jnp.zeros((args.cap, act_dim), jnp.float32)
+buf_val = jnp.zeros((args.cap,), jnp.float32)
 n = jnp.int32(0)
 
 key = jax.random.PRNGKey(args.seed + 1)
@@ -221,19 +235,20 @@ for it in range(args.iters):
         break
     key, kc, ku = jax.random.split(key, 3)
     beta = 1.0 if it < args.beta0 else 0.0
-    states, obs, d_obs, d_act = collect(student, states, obs, kc,
-                                        jnp.float32(beta))
+    states, obs, d_obs, d_act, d_val = collect(student, states, obs, kc,
+                                               jnp.float32(beta))
     # pre-update imitation gap on the fresh on-policy batch (held-out:
     # the student has not trained on these states yet)
     gap = float(jnp.mean(
         (jnp.clip(mlp.policy_mean(student, d_obs), -1, 1) - d_act) ** 2))
-    buf_obs, buf_act, n = insert(buf_obs, buf_act, n, d_obs, d_act)
+    buf_obs, buf_act, buf_val, n = insert(buf_obs, buf_act, buf_val, n,
+                                          d_obs, d_act, d_val)
     # fixed minibatch count (fresh-data sized): a buffer-dependent count
     # would change the static arg every iteration and recompile the
     # update kernel each time
     n_mb = max(1, args.epochs * (T * B) // args.mb)
     student, opt_state, loss = update(student, opt_state, buf_obs, buf_act,
-                                      n, ku, n_mb)
+                                      buf_val, n, ku, n_mb)
     print(f"[dagger {it}] beta={beta:.0f} buffer={int(n)} "
           f"heldout-gap={gap:.5f} train-loss={float(loss):.5f}", flush=True)
     if (it + 1) % args.eval_every == 0 or it == args.iters - 1:
