@@ -56,6 +56,15 @@ ap.add_argument("--steps", type=int, default=32)
 ap.add_argument("--mb", type=int, default=1024)
 ap.add_argument("--gamma", type=float, default=0.999)
 ap.add_argument("--eval-episodes", type=int, default=512)
+ap.add_argument("--confirm", action="store_true",
+                help="honest ratchet: accept a paired-eval win only if it "
+                     "ALSO holds on a second disjoint fixed key set. "
+                     "Round-3 lesson: max-over-snapshots on one key set "
+                     "overfits selection noise (r3a picked 89.8% paired "
+                     "that pooled at 84.6%).")
+ap.add_argument("--min-win", type=float, default=0.0,
+                help="with --confirm: required primary-eval margin over "
+                     "the incumbent before the confirm eval is even run")
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--max-wall", type=float, default=7200)
 ap.add_argument("--train-block-speed", type=float, default=None,
@@ -226,12 +235,15 @@ _evaluator = evaluation.ChunkedEvaluator(
 
 EVAL_KEYS = jax.random.split(jax.random.PRNGKey(args.seed),
                              args.eval_episodes)
+CONFIRM_KEYS = jax.random.split(jax.random.PRNGKey(args.seed + 7919),
+                                args.eval_episodes)
 
 
-def big_eval(params):
+def big_eval(params, keys=None):
     """(full_horizon_rate, mean_return, mean_len) on the FIXED key set —
     paired across snapshots so selection noise is mostly common-mode."""
-    ret, lens = _evaluator.evaluate_detail(params, EVAL_KEYS)
+    ret, lens = _evaluator.evaluate_detail(
+        params, EVAL_KEYS if keys is None else keys)
     return (float((lens >= max_steps).mean()),
             float(ret.mean()), float(lens.mean()))
 
@@ -241,6 +253,10 @@ t0 = time.time()
 best_params = ckpt.load(args.init)
 score0 = big_eval(best_params)
 best = dict(score=score0[0], ret=score0[1], src=str(args.init))
+if args.confirm:
+    c0 = big_eval(best_params, CONFIRM_KEYS)
+    best["cscore"] = c0[0]
+    print(f"[burst] init confirm set: full={100 * c0[0]:.1f}%", flush=True)
 # the advertised artifact must exist even if every burst is dry (common at
 # the plateau — the ratchet only has to win occasionally)
 ckpt.save(out_dir / "best_model", best_params)
@@ -289,12 +305,30 @@ for b in range(args.bursts):
     for s_steps, params in snaps:
         full, ret, length = big_eval(params)
         tag = ""
-        if full > best["score"]:
-            best = dict(score=full, ret=ret,
-                        src=f"burst{b}@{s_steps}")
+        if full > best["score"] + (args.min_win if args.confirm else 0.0):
+            if args.confirm:
+                cfull, _, _ = big_eval(params, CONFIRM_KEYS)
+                if cfull < best["cscore"]:
+                    print(f"[burst {b}] {s_steps / 1e6:5.1f}M primary win "
+                          f"{100 * full:.1f}% did NOT confirm "
+                          f"({100 * cfull:.1f}% < "
+                          f"{100 * best['cscore']:.1f}%) — rejected",
+                          flush=True)
+                    history.append(dict(burst=b, steps=s_steps, lr=lr,
+                                        full=full, ret=ret, len=length,
+                                        confirm=cfull, rejected=True))
+                    continue
+                best_c = cfull
+            else:
+                best_c = None
+            best = dict(score=full, ret=ret, src=f"burst{b}@{s_steps}")
+            if best_c is not None:
+                best["cscore"] = best_c
             best_params = params
             ckpt.save(out_dir / "best_model", params)
-            improved, tag = True, "  <-- new best"
+            improved = True
+            tag = ("  <-- new best (confirmed)" if args.confirm
+                   else "  <-- new best")
         print(f"[burst {b} lr={lr:.1e}] {s_steps / 1e6:5.1f}M "
               f"full={100 * full:5.1f}% ret={ret:7.0f} len={length:6.0f}"
               f"{tag}", flush=True)
