@@ -78,10 +78,15 @@ def rollout(policy_fn, n_params, params_grid, seeds):
 
     keys = jax.random.split(jax.random.PRNGKey(7), seeds)
     grid = jnp.asarray(params_grid, jnp.float32)        # (G, n_params)
-    f = jax.jit(jax.vmap(jax.vmap(one, in_axes=(None, 0)),
-                         in_axes=(0, None)))
-    rets, lens = f(grid, keys)                          # (G, S)
-    return np.asarray(rets), np.asarray(lens)
+    G = grid.shape[0]
+    # ONE flat batch axis (grid x seeds): the fused pallas kernels vmap a
+    # single batch dimension
+    flat_grid = jnp.repeat(grid, seeds, axis=0)          # (G*S, n_params)
+    flat_keys = jnp.tile(keys, (G, 1))                   # (G*S, 2)
+    f = jax.jit(jax.vmap(one))
+    rets, lens = f(flat_grid, flat_keys)
+    return (np.asarray(rets).reshape(G, seeds),
+            np.asarray(lens).reshape(G, seeds))
 
 
 # ---------------------------------------------------------- family 1: CYCLE
