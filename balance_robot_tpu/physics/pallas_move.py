@@ -50,7 +50,7 @@ W_INVW = 3.3757186541109845
 CHASSIS_HALF = (0.05, 0.0185, 0.0855)
 EYE3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
 
-BLOCK_B = 256
+BLOCK_B = 128   # 256 overflows the 16M scoped-VMEM stack by 1.4M on v5-lite
 
 
 def substep_walls_scalar(state: PhysState, ctrl, p):
@@ -206,10 +206,16 @@ def make_vmappable_control_step_walls(params, frame_skip=250,
 
     @cs.def_vmap
     def cs_vmap(axis_size, in_batched, state, ctrl, friction):
-        qpos = jnp.stack(state.qpos, axis=-1)
-        qvel = jnp.stack(state.qvel, axis=-1)
-        ws = jnp.stack(state.warmstart, axis=-1)
-        ctrl_a = jnp.stack(ctrl, axis=-1)
+        # Leaves may arrive unbatched (e.g. a shared scalar warmstart from a
+        # freshly-reset state); broadcast each to the batch before stacking.
+        def stack(leaves):
+            return jnp.stack(
+                [jnp.broadcast_to(l, (axis_size,)) for l in leaves], axis=-1)
+
+        qpos = stack(state.qpos)
+        qvel = stack(state.qvel)
+        ws = stack(state.warmstart)
+        ctrl_a = stack(ctrl)
         qp, qv, w = control_step_walls_pallas(qpos, qvel, ws, ctrl_a, params,
                                               frame_skip=frame_skip,
                                               interpret=interpret)

@@ -98,10 +98,10 @@ def cycle_policy(p, obs, t):
 
 
 cycle_grid = [(n_hi, n_lo, a_hi, a_lo)
-              for n_hi in (20.0, 40.0, 80.0)
-              for n_lo in (40.0, 80.0, 160.0)
-              for a_hi in (0.5, 1.0)
-              for a_lo in (0.005, 0.02, 0.05)]
+              for n_hi in (10.0, 20.0, 40.0, 80.0)
+              for n_lo in (40.0, 80.0, 160.0, 320.0)
+              for a_hi in (1.0,)
+              for a_lo in (0.001, 0.002, 0.005, 0.01)]
 
 # --------------------------------------------------------- family 2: THRESH
 def thresh_policy(p, obs, t):
@@ -113,10 +113,10 @@ def thresh_policy(p, obs, t):
 
 
 thresh_grid = [(mid, width, a_hi, a_lo)
-               for mid in (4.0, 8.0, 12.0)
-               for width in (0.25, 1.0, 3.0)
-               for a_hi in (0.5, 1.0)
-               for a_lo in (0.005, 0.02, 0.05)]
+               for mid in (1.0, 2.0, 4.0, 6.0)
+               for width in (0.1, 0.25, 1.0)
+               for a_hi in (1.0,)
+               for a_lo in (0.001, 0.002, 0.005, 0.01)]
 
 
 for name, fn, grid in (("CYCLE", cycle_policy, cycle_grid),
