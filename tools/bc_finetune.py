@@ -57,6 +57,13 @@ ap.add_argument("--kl-anchor", action="store_true",
                     "the plain-MSE anchor that let the r2 clone collapse "
                     "(docs/TRAINING.md negative result 3) was weak exactly "
                     "where the PPO objective is stiff.")
+ap.add_argument("--anchor-weight", type=float, default=1.0,
+                help="multiplier on the anchor term. With --kl-anchor the "
+                     "KL is ~1/(2*sigma^2) ~ 550x stronger per unit mean "
+                     "shift than MSE; weights in ~[0.02, 0.5] interpolate "
+                     "between the collapse regime (plain MSE anchor, "
+                     "negative result 3) and the too-stiff-to-learn regime "
+                     "(runs/bc_kl_smoke.log: dagger-mse barely moves).")
 ap.add_argument("--eval-every", type=int, default=0,
                 help="run a selection eval every N clone steps and keep the "
                     "best snapshot (burst_refine-style ratchet; 0 = off, "
@@ -166,7 +173,8 @@ def train_step(params, opt_state, key):
                 ((pred[n_d:] - a[n_d:]) ** 2) * inv_2var, axis=-1))
         else:
             l_a = jnp.mean((pred[n_d:] - a[n_d:]) ** 2)
-        return (args.dagger_frac * l_d + (1 - args.dagger_frac) * l_a,
+        return (args.dagger_frac * l_d
+                + (1 - args.dagger_frac) * args.anchor_weight * l_a,
                 (l_d, l_a))
 
     (loss, (l_d, l_a)), grads = jax.value_and_grad(

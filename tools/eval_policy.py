@@ -34,6 +34,9 @@ p.add_argument("--chunk", type=int, default=250)
 p.add_argument("--dump", default=None,
                help="npz path for per-episode (return, length, start pitch) "
                     "arrays — failure analysis of the non-surviving tail")
+p.add_argument("--int8", action="store_true",
+               help="run the checkpoint through the int8 deployment path "
+                    "(post-training quantization + integer inference sim)")
 p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                help="force the JAX backend (config.update, not the env var: "
                     "sitecustomize has already imported jax)")
@@ -79,6 +82,15 @@ if any(k.startswith("actor/") for k in params):
     _act_fn = _op_act
 else:
     _act_fn = lambda p, o: jnp.clip(mlp.policy_mean(p, o), -1.0, 1.0)
+
+if args.int8:
+    # Evaluate through the full int8 deployment path (ops/quant.py): the
+    # same artifact the MCU runs, so numbers are comparable to the
+    # reference's shipped int8 policy (tools/eval_reference_policy.py).
+    from balance_robot_tpu.ops import quant
+    _int8_fn = quant.int8_policy_fn(quant.quantize_policy(params))
+    _act_fn = lambda p, o: _int8_fn(o)
+    print("[int8 deployment path]")
 
 # One owner for the watchdog-critical chunked rollout (train/evaluation.py).
 _evaluator = evaluation.ChunkedEvaluator(env, _act_fn, chunk=args.chunk)
