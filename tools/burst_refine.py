@@ -62,9 +62,23 @@ ap.add_argument("--confirm", action="store_true",
                      "Round-3 lesson: max-over-snapshots on one key set "
                      "overfits selection noise (r3a picked 89.8% paired "
                      "that pooled at 84.6%).")
-ap.add_argument("--min-win", type=float, default=0.0,
-                help="with --confirm: required primary-eval margin over "
-                     "the incumbent before the confirm eval is even run")
+ap.add_argument("--min-win", type=float, default=None,
+                help="with --confirm: required margin over the incumbent on "
+                     "BOTH the primary and the disjoint confirm set, as a "
+                     "full-horizon fraction. Default (None) = 2*SE of the "
+                     "incumbent's eval, SE = sqrt(p(1-p)/n): at p~0.89 and "
+                     "n=512 that is ~2.8 pts; n=1024 ~2.0 pts. Round-2..4 "
+                     "lesson: sub-SE 'confirmed' wins (r3a +0.9, r4h +1.2) "
+                     "failed pooled fresh-seed re-eval BOTH times — a "
+                     "margin below noise plus max-over-snapshots selection "
+                     "guarantees overfit winners.")
+ap.add_argument("--no-final-gate", action="store_true",
+                help="skip the pooled fresh-seed final gate (2 disjoint "
+                     "fresh-key evals of winner vs incumbent; the winner "
+                     "must pool at least as high or the artifact reverts). "
+                     "The gate is on by default with --confirm because it "
+                     "has overruled 'confirmed' wins twice (r3a 84.6%, "
+                     "r4h 87.1% vs the 89.5% incumbent).")
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--max-wall", type=float, default=7200)
 ap.add_argument("--train-block-speed", type=float, default=None,
@@ -250,9 +264,17 @@ def big_eval(params, keys=None):
 
 # ---------------------------------------------------------------- bursts
 t0 = time.time()
-best_params = ckpt.load(args.init)
+init_params = best_params = ckpt.load(args.init)
 score0 = big_eval(best_params)
 best = dict(score=score0[0], ret=score0[1], src=str(args.init))
+min_win = args.min_win
+if min_win is None:
+    # 2*SE of a binomial proportion at the incumbent's level: the smallest
+    # margin distinguishable from paired-selection noise at this eval size.
+    p0 = min(max(score0[0], 0.05), 0.95)
+    min_win = 2.0 * float(np.sqrt(p0 * (1.0 - p0) / args.eval_episodes))
+    print(f"[burst] auto min_win = 2*SE = {100 * min_win:.2f} pts "
+          f"(p={100 * p0:.1f}%, n={args.eval_episodes})", flush=True)
 if args.confirm:
     c0 = big_eval(best_params, CONFIRM_KEYS)
     best["cscore"] = c0[0]
@@ -305,14 +327,18 @@ for b in range(args.bursts):
     for s_steps, params in snaps:
         full, ret, length = big_eval(params)
         tag = ""
-        if full > best["score"] + (args.min_win if args.confirm else 0.0):
+        if full > best["score"] + (min_win if args.confirm else 0.0):
             if args.confirm:
                 cfull, _, _ = big_eval(params, CONFIRM_KEYS)
-                if cfull < best["cscore"]:
+                # the margin must hold on the DISJOINT set too — a primary
+                # win with a flat confirm is exactly the selection-noise
+                # signature that produced the r3a/r4h false positives
+                if cfull < best["cscore"] + min_win:
                     print(f"[burst {b}] {s_steps / 1e6:5.1f}M primary win "
                           f"{100 * full:.1f}% did NOT confirm "
                           f"({100 * cfull:.1f}% < "
-                          f"{100 * best['cscore']:.1f}%) — rejected",
+                          f"{100 * best['cscore']:.1f}% + "
+                          f"{100 * min_win:.1f}) — rejected",
                           flush=True)
                     history.append(dict(burst=b, steps=s_steps, lr=lr,
                                         full=full, ret=ret, len=length,
@@ -340,5 +366,38 @@ for b in range(args.bursts):
     (out_dir / "burst_history.json").write_text(json.dumps(
         dict(best=best, history=history), indent=1))
 
-print(f"[burst] DONE best={best} wall={time.time() - t0:.0f}s")
+# --------------------------------------------------- pooled fresh-seed gate
+# Paired selection on fixed key sets has twice "confirmed" winners that a
+# pooled fresh-seed eval overruled (r3a 84.6%, r4h 87.1% vs 89.5%).  The
+# final authority is therefore the pooled metric itself: winner vs incumbent
+# on two fresh disjoint key sets; the winner keeps the artifact only if its
+# pooled rate is at least the incumbent's.
+accepted = best["src"] != str(args.init)
+if accepted and args.confirm and not args.no_final_gate:
+    pooled = {}
+    for name, p in (("incumbent", init_params), ("winner", best_params)):
+        fulls = []
+        for s in (1009, 2003):
+            keys = jax.random.split(jax.random.PRNGKey(args.seed + s),
+                                    args.eval_episodes)
+            fulls.append(big_eval(p, keys)[0])
+        pooled[name] = float(np.mean(fulls))
+        print(f"[gate] {name} pooled fresh-seed "
+              f"(2x{args.eval_episodes}): {100 * pooled[name]:.1f}%",
+              flush=True)
+    if pooled["winner"] < pooled["incumbent"]:
+        print(f"[gate] winner pooled {100 * pooled['winner']:.1f}% < "
+              f"incumbent {100 * pooled['incumbent']:.1f}% — REVERTING "
+              f"artifact to the incumbent", flush=True)
+        ckpt.save(out_dir / "best_model", init_params)
+        best = dict(score=score0[0], ret=score0[1], src=str(args.init),
+                    reverted_by_gate=True)
+        accepted = False
+    best["pooled"] = pooled
+(out_dir / "burst_history.json").write_text(json.dumps(
+    dict(best=best, history=history, accepted=accepted,
+         min_win=min_win), indent=1))
+
+print(f"[burst] DONE accepted={accepted} best={best} "
+      f"wall={time.time() - t0:.0f}s")
 print(f"[burst] final artifact: {out_dir / 'best_model.npz'}")

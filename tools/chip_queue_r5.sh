@@ -21,8 +21,11 @@ cd "$(dirname "$0")/.."
 mkdir -p runs
 
 echo "=== [1] A2C probe (SB3 defaults: n_steps 5, plain PG) ==="
+# --gamma 0.999 matches the TD3/DDPG probes and the measured SAC/PPO runs;
+# 0.99 at 1024 envs finds the pitch*dv reward exploit (CLI help), which
+# would confound the "A2C trains poorly" parity cell with a reward artifact.
 timeout 2400 python -m balance_robot_tpu.cli -a A2C train -e Env01-v2 \
-  --num-envs 1024 --max-wall 1800 --eval-freq 500000 --seed 0 \
+  --num-envs 1024 --gamma 0.999 --max-wall 1800 --eval-freq 500000 --seed 0 \
   2>&1 | tee runs/a2c_env01v2_r5.log | tail -40
 timeout 1200 python tools/eval_policy.py models/Env01-v2_A2C/best_model.npz \
   --env Env01-v2 --episodes 256 --seed 7 2>&1 | tee runs/a2c_r5_eval.log
@@ -45,20 +48,20 @@ timeout 2400 python tools/train_offpolicy.py DDPG Env01-v2 --envs 64 \
 timeout 1200 python tools/eval_policy.py models/Env01-v2_DDPG/best_model.npz \
   --env Env01-v2 --episodes 256 --seed 7 2>&1 | tee runs/ddpg_r5_eval.log
 
-echo "=== [4] flagship hazard-density follow-up ==="
-INIT=models/Env03-v2_PPO/best_model.npz
-if [ -f models/Env03-v2_r4d/best_model.npz ]; then
-  # start from the r4d artifact if it confirmed a win (check the log)
-  grep -q "confirmed" runs/burst_r4d.log 2>/dev/null \
-    && INIT=models/Env03-v2_r4d/best_model.npz
-fi
+echo "=== [4] flagship severity probe (hazard-density lever is dead:"
+echo "    runs/burst_r4d.log monotone regression 85.2->74.0%) ==="
+# Severity-only: --train-block-speed 9 without --train-block-delay, so a
+# negative closes the severity axis unconfounded.  INIT stays the incumbent
+# (r4d did NOT confirm — machine-checkable via burst_history.json.accepted
+# for new runs; r4d predates the flag and its log shows the regression).
+# min_win left at the auto 2*SE default; pooled fresh-seed gate on.
 timeout 7200 python tools/burst_refine.py \
-  --init "$INIT" --out models/Env03-v2_r5a \
+  --init models/Env03-v2_PPO/best_model.npz --out models/Env03-v2_r5a \
   --bursts 6 --burst-steps 2000000 --snap-steps 500000 \
   --envs 1024 --steps 32 --mb 1024 --privileged-critic \
-  --train-block-delay 0.3 --train-block-speed 9.0 \
+  --train-block-speed 9.0 \
   --lr 5e-5 --gamma 0.999 --eval-episodes 512 --seed 41 \
-  --confirm --min-win 0.5 --max-wall 6600 2>&1 | tail -60
+  --confirm --max-wall 6600 2>&1 | tail -60
 for s in 101 202; do
   timeout 3600 python tools/eval_policy.py \
     models/Env03-v2_r5a/best_model.npz --env Env03-v2 \
