@@ -283,8 +283,11 @@ def convert(ctx, env_id):
     sm = base / "saved_model"
     pipeline.export_savedmodel(params, sm)
     click.echo(f"wrote {sm}")
-    pipeline.export_brq(params, base / "best_model_int8.brq")
-    click.echo(f"wrote {base / 'best_model_int8.brq'}.npz")
+    try:
+        pipeline.export_brq(params, base / "best_model_int8.brq")
+        click.echo(f"wrote {base / 'best_model_int8.brq'}.npz")
+    except NotImplementedError as e:
+        click.echo(f"skipping .brq: {e}")
 
 
 @cli.command()

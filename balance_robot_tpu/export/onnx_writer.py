@@ -126,3 +126,50 @@ def build_policy_onnx(params):
     model += _ld(7, graph)
     model += _ld(8, opset)
     return model
+
+
+def build_actor_onnx(W, B):
+    """Deterministic off-policy actor (train/offpolicy.py): ReLU MLP with a
+    tanh-squashed head.  SAC's 4-wide head carries [mean, log_std]; the
+    deployed action is tanh(mean), and the mean is extracted with a constant
+    selection Gemm so the graph stays pure Gemm/Relu/Tanh — in particular it
+    contains NO Exp, the op that blocks the reference's SAC int8 TFLite
+    conversion (reference README.md:177-180: SB3's exported SAC actor keeps
+    the std path in-graph).  TD3/DDPG heads are already act_dim wide and
+    squash directly."""
+    W = [np.asarray(w, np.float32) for w in W]
+    B = [np.asarray(b, np.float32) for b in B]
+    act_dim = 2
+    inits, nodes = [], []
+    name_in = "input"
+    for i, (w, b) in enumerate(zip(W, B)):
+        inits += [_tensor(f"a_w{i}", w), _tensor(f"a_b{i}", b)]
+        nodes.append(_node("Gemm", [name_in, f"a_w{i}", f"a_b{i}"],
+                           [f"a_h{i}"], f"actor_fc{i}"))
+        if i < len(W) - 1:
+            nodes.append(_node("Relu", [f"a_h{i}"], [f"a_r{i}"],
+                               f"actor_relu{i}"))
+            name_in = f"a_r{i}"
+    head = f"a_h{len(W) - 1}"
+    if W[-1].shape[1] == 2 * act_dim:          # SAC: [mean, log_std] head
+        sel = np.zeros((2 * act_dim, act_dim), np.float32)
+        sel[:act_dim, :act_dim] = np.eye(act_dim)
+        inits += [_tensor("a_sel", sel),
+                  _tensor("a_sel_b", np.zeros(act_dim, np.float32))]
+        nodes.append(_node("Gemm", [head, "a_sel", "a_sel_b"], ["a_mean"],
+                           "actor_mean"))
+        head = "a_mean"
+    nodes.append(_node("Tanh", [head], ["output"], "actor_tanh"))
+
+    graph = b"".join(_ld(1, n) for n in nodes)
+    graph += _string(2, "balance_robot_actor")
+    graph += b"".join(_ld(5, t) for t in inits)
+    graph += _ld(11, _value_info("input", (1, W[0].shape[0])))
+    graph += _ld(12, _value_info("output", (1, act_dim)))
+
+    opset = _string(1, "") + _int(2, 11)
+    model = _int(1, 6)
+    model += _string(2, "balance_robot_tpu")
+    model += _ld(7, graph)
+    model += _ld(8, opset)
+    return model

@@ -24,6 +24,24 @@ import pathlib
 import numpy as np
 
 
+def offpolicy_actor(params):
+    """(W, B) layer lists of the deterministic actor if `params` is an
+    off-policy checkpoint (train/offpolicy.py tree, flattened by
+    checkpoint.save to 'actor/<i>/{w,b}' keys); None for PPO/A2C params.
+
+    Deployment semantics: SAC's head is [mean, log_std] (4-wide) and the
+    deterministic action is tanh(mean); TD3/DDPG heads are act_dim wide and
+    tanh-squash directly (offpolicy.py SAC.act deterministic branch)."""
+    if "actor/0/w" not in params:
+        return None
+    W, B, i = [], [], 0
+    while f"actor/{i}/w" in params:
+        W.append(np.asarray(params[f"actor/{i}/w"], np.float32))
+        B.append(np.asarray(params[f"actor/{i}/b"], np.float32))
+        i += 1
+    return W, B
+
+
 def export_onnx(params, path):
     """ONNX export of the policy (reference `convert` parity: opset 11,
     input 'input', first output 'output' = actions — sb_rl.py:126-133).
@@ -34,10 +52,17 @@ def export_onnx(params, path):
     ModelProto protobuf and validated by onnx_runtime.check_model.  Output
     order matches the reference's export of the SB3 policy module — actions
     FIRST, so the output named 'output' is what the test-onnx episode loop
-    acts on (sb_rl.py:214-220)."""
-    from ..models.mlp import deployable_params
-    from .onnx_writer import build_policy_onnx
+    acts on (sb_rl.py:214-220).
 
+    Off-policy checkpoints (SAC/TD3/DDPG) export the deterministic actor
+    subgraph only (Gemm/Relu/Tanh — see onnx_writer.build_actor_onnx)."""
+    from ..models.mlp import deployable_params
+    from .onnx_writer import build_actor_onnx, build_policy_onnx
+
+    actor = offpolicy_actor(params)
+    if actor is not None:
+        pathlib.Path(path).write_bytes(build_actor_onnx(*actor))
+        return path
     # privileged-critic training widens vf_w1; the deployed graph keeps the
     # actor's 6-obs interface (mlp.deployable_params docstring)
     pathlib.Path(path).write_bytes(build_policy_onnx(deployable_params(params)))
@@ -45,10 +70,33 @@ def export_onnx(params, path):
 
 
 def export_savedmodel(params, path):
-    """TF SavedModel of the (value, actions, log_std) graph."""
+    """TF SavedModel of the (value, actions, log_std) graph; off-policy
+    checkpoints export the deterministic actor ({'actions'} only — the
+    relu/tanh graph has no Exp, so int8 TFLite conversion succeeds where
+    the reference's SAC export does not, reference README.md:177-180)."""
     import tensorflow as tf
 
     from ..models.mlp import deployable_params
+
+    actor = offpolicy_actor(params)
+    if actor is not None:
+        W, B = [[tf.constant(a) for a in t] for t in actor]
+        obs_dim = int(actor[0][0].shape[0])
+        sac = actor[0][-1].shape[1] == 4       # [mean, log_std] head
+
+        class Actor(tf.Module):
+            @tf.function(input_signature=[
+                tf.TensorSpec([1, obs_dim], tf.float32, name="input")])
+            def __call__(self, x):
+                for w, b in zip(W[:-1], B[:-1]):
+                    x = tf.nn.relu(x @ w + b)
+                x = x @ W[-1] + B[-1]
+                if sac:
+                    x = x[:, :2]
+                return {"actions": tf.tanh(x)}
+
+        tf.saved_model.save(Actor(), str(path))
+        return path
 
     w = {k: np.asarray(v) for k, v in deployable_params(params).items()}
 
@@ -117,6 +165,15 @@ def write_model_h(tflite_path, out_path, var_name="model"):
 
 def export_brq(params, path):
     """Our compact int8 artifact for the JAX simulator + C++ runtime."""
+    if offpolicy_actor(params) is not None:
+        # the .brq semantics (ops/quant.py + native/int8_runtime.cc) are
+        # defined for the deployed tanh-MLP PPO policy: the relu actor's
+        # final tanh squash would need an int8 tanh LUT in both runtimes.
+        # The reference-parity int8 deployment for SAC/TD3/DDPG is the
+        # TFLite leg (quantize), which carries the op natively.
+        raise NotImplementedError(
+            "int8 .brq export is defined for the tanh-MLP PPO policy; "
+            "use `quantize` (TFLite int8) for off-policy actors")
     from ..ops import quant
     qm = quant.quantize_policy(params)
     save_brq(qm, path)

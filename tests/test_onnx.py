@@ -157,3 +157,57 @@ def test_native_cpp_session_matches_jax(exported):
             log_std[0], np.asarray(params["log_std"]), atol=1e-6)
     with pytest.raises(RuntimeError):
         sess.run(["output"], {"input": np.zeros((1, 999), np.float32)})
+
+
+def _offpolicy_params(key, head):
+    """Flat checkpoint-style tree of a train/offpolicy.py actor (ReLU MLP
+    256-256, head width 4 for SAC [mean, log_std] / 2 for TD3/DDPG)."""
+    ks = jax.random.split(key, 6)
+    dims = [(6, 32), (32, 32), (32, head)]
+    p = {}
+    for i, (m, n) in enumerate(dims):
+        p[f"actor/{i}/w"] = np.asarray(
+            jax.random.normal(ks[2 * i], (m, n)) * 0.3, np.float32)
+        p[f"actor/{i}/b"] = np.asarray(
+            jax.random.normal(ks[2 * i + 1], (n,)) * 0.1, np.float32)
+    return p
+
+
+@pytest.mark.parametrize("head", [4, 2])
+def test_offpolicy_actor_onnx_roundtrip(tmp_path, head):
+    """SAC (4-wide [mean, log_std] head) and TD3/DDPG (2-wide) checkpoints
+    export a deterministic Gemm/Relu/Tanh actor graph — no Exp, the op that
+    blocks the reference's SAC int8 deployment (reference
+    README.md:177-180) — and the executed graph matches tanh(mean) of the
+    float actor (offpolicy.py SAC.act deterministic branch)."""
+    from balance_robot_tpu.export import pipeline
+
+    params = _offpolicy_params(jax.random.PRNGKey(head), head)
+    path = tmp_path / "actor.onnx"
+    pipeline.export_onnx(params, path)
+    model = onnx_runtime.load_model(path)
+    onnx_runtime.check_model(model)
+    ops = {n["op_type"] for n in model["graph"]["nodes"]}
+    assert "Exp" not in ops and ops <= {"Gemm", "Relu", "Tanh"}
+
+    sess = onnx_runtime.NumpySession(path)
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        obs = rng.uniform(-3, 3, size=(1, 6)).astype(np.float32)
+        x = obs
+        for i in range(2):
+            x = np.maximum(x @ params[f"actor/{i}/w"]
+                           + params[f"actor/{i}/b"], 0)
+        mean = (x @ params["actor/2/w"] + params["actor/2/b"])[:, :2]
+        (out,) = sess.run(["output"], {"input": obs})
+        np.testing.assert_allclose(out, np.tanh(mean), rtol=0, atol=2e-6)
+
+
+def test_offpolicy_brq_gated():
+    """The .brq int8 artifact is tanh-MLP-specific; off-policy actors must
+    be routed to the TFLite leg with a clear gate, not a bad artifact."""
+    from balance_robot_tpu.export import pipeline
+
+    params = _offpolicy_params(jax.random.PRNGKey(0), 4)
+    with pytest.raises(NotImplementedError):
+        pipeline.export_brq(params, "/tmp/should_not_exist.brq")
